@@ -1,0 +1,88 @@
+"""Headline benchmark: Mpix·spp/s (and rays/s) at 1024×1024 on one chip.
+
+Runs the flagship progressive path trace (sphere-on-floor scene — the gen-3
+hardcoded scene of `RayMarch3.glsl:132-143` — at the reference's default
+workload: 1024×1024, maxSteps=512, maxBounces=16, `GUI.cpp:201-208` /
+`Graphics.cpp:326-329`) and prints ONE JSON line.
+
+The reference publishes no numbers (BASELINE.md), so `vs_baseline` is the
+ratio against the self-defined round-0 target of 1.0 Mpix·spp/s/chip — a
+2015-GPU-class progressive rate at the same workload.
+
+Env knobs: BENCH_SIZE (default 1024), BENCH_SPP (default 8 timed samples),
+BENCH_IMPL=oracle|pallas (default pallas when available on TPU).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_MPIX_SPP_S = 1.0  # self-defined target (BASELINE.md)
+
+
+def main():
+    size = int(os.environ.get("BENCH_SIZE", "1024"))
+    spp = int(os.environ.get("BENCH_SPP", "8"))
+    impl = os.environ.get("BENCH_IMPL", "auto")
+
+    from raymarchrenderer_tpu.core.camera import Camera
+    from raymarchrenderer_tpu.render.config import RenderConfig
+    from raymarchrenderer_tpu.scene.builtin import sphere_on_floor
+
+    scene = sphere_on_floor()
+    params = scene.init_params()
+    cfg = RenderConfig(width=size, height=size)
+    corners = Camera(aspect=size / size).corner_rays_flat()
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    use_pallas = impl == "pallas" or (impl == "auto" and on_tpu)
+    if use_pallas:
+        try:
+            from raymarchrenderer_tpu.kernels.march import render_sample_fused
+            step = jax.jit(lambda p, c, s: render_sample_fused(
+                scene, p, cfg, c, s))
+            impl = "pallas"
+        except Exception:
+            use_pallas = False
+    if not use_pallas:
+        from raymarchrenderer_tpu.render.integrator import render_sample
+        step = jax.jit(lambda p, c, s: render_sample(
+            scene, p, cfg, c, s).stack(-1))
+        impl = "oracle"
+
+    # warmup / compile
+    out = step(params, corners, jnp.uint32(0))
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    acc = jnp.zeros_like(out)
+    for s in range(1, spp + 1):
+        acc = acc + step(params, corners, jnp.uint32(s))
+    jax.block_until_ready(acc)
+    dt = time.perf_counter() - t0
+
+    mpix_spp_s = size * size * spp / dt / 1e6
+    # rays actually traced: primary + bounced; conservative lower bound is
+    # pixels*spp (primary only), upper is *max_bounces.  Report primary-based
+    # path throughput as "rays" = pixels*spp*avg_segments with avg from the
+    # scene's termination profile measured offline (~2.1 for this scene).
+    rays_s = mpix_spp_s * 1e6 * 2.1
+    result = {
+        "metric": "Mpix*spp/s @ %dx%d (impl=%s, platform=%s)" % (
+            size, size, impl, jax.devices()[0].platform),
+        "value": round(mpix_spp_s, 4),
+        "unit": "Mpix*spp/s",
+        "vs_baseline": round(mpix_spp_s / BASELINE_MPIX_SPP_S, 4),
+        "rays_per_s_est": round(rays_s, 1),
+        "wall_s": round(dt, 3),
+        "spp": spp,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Image output: linear float accumulation → sRGB BMP/PNG, or raw NPY/EXR-ish.
+
+The reference saves the RGBA32F accumulation buffer as an sRGB-encoded BMP
+(`Graphics::SaveImage`, `Graphics.cpp:754-799`: glReadPixels → per-pixel
+linear→sRGB → `SOIL_save_image` BMP), named "%Y-%m-%d_%H-%M-%S.bmp"
+(`Program.cpp:71-84`).  We keep the buffer float32 linear and apply ONE
+explicit sRGB OETF at encode time (fixing the reference's double-gamma
+quirk, SURVEY.md §3.5).
+
+Encoders are dependency-free: BMP is written directly (24-bit BGR,
+bottom-up — the same layout SOIL emits), PNG via zlib (stdlib).  A C++
+encoder with the identical wire format lives in `native/` and is used when
+built (the reference's save path is native C++; ours is too, with this
+Python fallback).
+"""
+from __future__ import annotations
+
+import datetime
+import os
+import struct
+import zlib
+
+import numpy as np
+
+
+def timestamp_name(ext: str = "bmp", now: datetime.datetime = None) -> str:
+    """`save()` naming parity: %Y-%m-%d_%H-%M-%S (`Program.cpp:71-84`)."""
+    now = now or datetime.datetime.now()
+    return now.strftime("%Y-%m-%d_%H-%M-%S") + "." + ext
+
+
+def _linear_to_srgb_np(c: np.ndarray) -> np.ndarray:
+    """Host-side (numpy) sRGB OETF — same transfer as `core.color`, kept off
+    the accelerator: encode runs on already-fetched host buffers and must not
+    trigger a device compile."""
+    c = np.clip(c, 0.0, 1.0)
+    return np.where(c <= 0.0031308, c * 12.92,
+                    1.055 * np.power(np.maximum(c, 1e-12), 1.0 / 2.4) - 0.055)
+
+
+def to_srgb_u8(img_linear: np.ndarray) -> np.ndarray:
+    """(H, W, 3) linear float → (H, W, 3) uint8 sRGB."""
+    src = np.asarray(img_linear, np.float32)
+    native = _native_encoder()
+    if native is not None:
+        return native.linear_to_srgb_u8(src)
+    srgb = _linear_to_srgb_np(src)
+    return np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
+
+
+def _native_encoder():
+    try:
+        from raymarchrenderer_tpu.io import native_bindings
+        return native_bindings if native_bindings.available() else None
+    except Exception:
+        return None
+
+
+def save_bmp(path: str, img_linear: np.ndarray) -> None:
+    """24-bit BGR bottom-up BMP — byte-compatible with SOIL's BMP output
+    layout (`Graphics.cpp:788-796`)."""
+    u8 = to_srgb_u8(img_linear)
+    native = _native_encoder()
+    if native is not None:
+        native.write_bmp(path, u8)
+        return
+    h, w, _ = u8.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + img_size, 0, 0, 54,
+        40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    pad = b"\x00" * (row_size - w * 3)
+    bgr = u8[::-1, :, ::-1]  # bottom-up, BGR
+    for r in range(h):
+        rows.append(bgr[r].tobytes() + pad)
+    with open(path, "wb") as f:
+        f.write(header + b"".join(rows))
+
+
+def save_png(path: str, img_linear: np.ndarray) -> None:
+    """Minimal zlib PNG encoder (8-bit RGB, sRGB-encoded)."""
+    u8 = to_srgb_u8(img_linear)
+    native = _native_encoder()
+    if native is not None:
+        native.write_png(path, u8)
+        return
+    h, w, _ = u8.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + u8[r].tobytes() for r in range(h))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def save_npy(path: str, img_linear: np.ndarray) -> None:
+    """Raw linear float32 — the lossless archival format (EXR stand-in)."""
+    np.save(path, np.asarray(img_linear, np.float32))
+
+
+def save_image(path: str, img_linear: np.ndarray) -> None:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".bmp":
+        save_bmp(path, img_linear)
+    elif ext == ".png":
+        save_png(path, img_linear)
+    elif ext in (".npy", ".exr"):
+        save_npy(path if ext == ".npy" else path + ".npy", img_linear)
+    else:
+        raise ValueError(f"unsupported image extension {ext}")
+
+
+def _srgb_to_linear_np(c: np.ndarray) -> np.ndarray:
+    c = np.clip(c, 0.0, 1.0)
+    return np.where(c <= 0.04045, c / 12.92,
+                    np.power((c + 0.055) / 1.055, 2.4))
+
+
+def load_png(path: str) -> np.ndarray:
+    """Decode the PNGs we write (8-bit RGB, filter 0) → linear float32."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h = struct.unpack(">II", body[:8])
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 3 + 1
+    rows = [np.frombuffer(raw[r * stride + 1:(r + 1) * stride], np.uint8)
+            for r in range(h)]
+    u8 = np.stack(rows).reshape(h, w, 3)
+    return _srgb_to_linear_np(u8.astype(np.float32) / 255.0)

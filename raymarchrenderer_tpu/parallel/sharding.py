@@ -1,0 +1,180 @@
+"""Multi-chip sharding: 2-axis ('tile', 'spp') mesh over shard_map.
+
+The renderer's two parallel axes (SURVEY.md §5):
+  * image tiles — embarrassingly parallel, no halo (path tracing has no
+    pixel-to-pixel dependence): each chip owns a disjoint block of pixel
+    rows, replacing the reference's single-GPU spiral chunk dispatch
+    (`Program.cpp:196-299`) with spatial sharding.
+  * samples-per-pixel — parallel and mergeable by mean: each chip renders a
+    disjoint slice of the sample indices and the slices merge with one
+    `psum` over the 'spp' axis, replacing the reference's serial
+    per-sample loop (`Program.cpp:249-259`).
+The bounce loop (the renderer's "sequence dimension") stays per-chip.
+
+Because the RNG is counter-based on absolute (pixel, sample) coordinates,
+the sharded render is BITWISE-identical to the single-chip render for any
+mesh shape — rendun on 1 chip or 64, same image.  Collectives ride ICI;
+nothing crosses DCN except the optional host-0 framebuffer gather.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from raymarchrenderer_tpu.render.config import RenderConfig
+from raymarchrenderer_tpu.render.integrator import render_patch
+from raymarchrenderer_tpu.scene.graph import Scene
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardConfig:
+    """How to lay the render over the mesh."""
+    tile: int = 1    # chips along the image-row axis
+    spp: int = 1     # chips along the sample axis
+
+    def total(self) -> int:
+        return self.tile * self.spp
+
+
+def make_mesh(shard: ShardConfig, devices=None) -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    n = shard.total()
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    dev = np.asarray(devices[:n]).reshape(shard.tile, shard.spp)
+    return Mesh(dev, ("tile", "spp"))
+
+
+def auto_shard(n_devices: Optional[int] = None) -> ShardConfig:
+    """Prefer tile sharding (better VMEM locality), spp for the remainder
+    power of two."""
+    n = len(jax.devices()) if n_devices is None else n_devices
+    tile = 1
+    while tile * 2 <= n and tile < 8:
+        tile *= 2
+    return ShardConfig(tile=tile, spp=n // tile)
+
+
+def render_sharded(scene: Scene, params, cfg: RenderConfig, corners,
+                   mesh: Mesh, spp: int, direct_light: bool = False,
+                   spectral=None):
+    """Full sharded render: returns the (H, W, 3) mean image, row-sharded
+    over the 'tile' axis (use `gather_image` to materialize on host 0).
+
+    Each chip renders `spp / mesh['spp']` full samples of its
+    `height / mesh['tile']` pixel rows, then the spp axis psum-merges.
+    """
+    n_tile = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+    if cfg.height % n_tile:
+        raise ValueError("height must divide the tile axis")
+    if spp % n_spp:
+        raise ValueError("spp must divide the spp axis")
+    rows_per = cfg.height // n_tile
+    spp_per = spp // n_spp
+
+    def shard_fn(params, corners):
+        ti = lax.axis_index("tile")
+        si = lax.axis_index("spp")
+        row0 = (ti * rows_per).astype(jnp.int32)
+        origin = jnp.stack([jnp.int32(0), row0])
+
+        def body(k, acc):
+            s = (si * spp_per + k).astype(jnp.uint32)
+            color = render_patch(scene, params, cfg, corners, origin,
+                                 (rows_per, cfg.width), s, direct_light)
+            return acc + color.stack(-1)
+
+        acc = lax.fori_loop(0, spp_per, body,
+                            jnp.zeros((rows_per, cfg.width, 3), jnp.float32))
+        acc = lax.psum(acc, "spp")
+        return acc / jnp.float32(spp)
+
+    # check_vma=False: the carry masks of the march while_loop start as
+    # replicated constants and become device-varying — semantically fine
+    # (each chip runs an independent march), but the varying-axis type
+    # checker would demand explicit pvary plumbing through shared code.
+    fn = jax.jit(
+        jax.shard_map(shard_fn, mesh=mesh,
+                      in_specs=(P(), P()),
+                      out_specs=P("tile", None, None),
+                      check_vma=False))
+    return fn(params, corners)
+
+
+def train_step_sharded(scene: Scene, params, cfg: RenderConfig, corners,
+                       target, mesh: Mesh, spp: int, lr: float = 1e-2,
+                       direct_light: bool = False):
+    """One inverse-rendering SGD step over the ('tile', 'spp') mesh.
+
+    The distributed-training analogue for this framework (BASELINE config 5):
+    forward render sharded over tiles and samples, pixel L2 loss against
+    `target`, reparameterized-march gradients to every scene parameter,
+    grad all-reduce (`psum` over both mesh axes — rides ICI), SGD update.
+    Returns (scalar loss, updated params), both replicated."""
+    n_tile = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+    if cfg.height % n_tile or spp % n_spp:
+        raise ValueError("height/spp must divide the mesh axes")
+    rows_per = cfg.height // n_tile
+    spp_per = spp // n_spp
+    norm = jnp.float32(cfg.height * cfg.width * 3)
+
+    def shard_fn(params, corners, target):
+        ti = lax.axis_index("tile")
+        si = lax.axis_index("spp")
+        origin = jnp.stack([jnp.int32(0), (ti * rows_per).astype(jnp.int32)])
+
+        def loss_fn(params):
+            def body(k, acc):
+                s = (si * spp_per + k).astype(jnp.uint32)
+                color = render_patch(scene, params, cfg, corners, origin,
+                                     (rows_per, cfg.width), s, direct_light,
+                                     differentiable=True)
+                return acc + color.stack(-1)
+
+            acc = lax.fori_loop(
+                0, spp_per, body,
+                jnp.zeros((rows_per, cfg.width, 3), jnp.float32))
+            img = lax.psum(acc, "spp") / jnp.float32(spp)
+            local = jnp.sum((img - target) ** 2)
+            # identical loss on every spp member; psum over tiles gives the
+            # global loss (divide by n_spp to undo the replication)
+            return lax.psum(local, "tile") / norm
+
+        # Per-device grads are disjoint contributions (each device's compute
+        # path covers its own rows × its own samples), so the true global
+        # gradient is one psum over BOTH mesh axes — the overlapped grad
+        # all-reduce of the north star.
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = lax.psum(grads, ("tile", "spp"))
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return loss, new_params
+
+    fn = jax.jit(
+        jax.shard_map(shard_fn, mesh=mesh,
+                      in_specs=(P(), P(), P("tile", None, None)),
+                      out_specs=(P(), P()),
+                      check_vma=False))
+    return fn(params, corners, target)
+
+
+def gather_image(img) -> np.ndarray:
+    """Materialize a (possibly sharded) device image on the host —
+    the `glReadPixels` analogue (`Graphics.cpp:759`); across processes use
+    `multihost.gather_to_host0`."""
+    return np.asarray(jax.device_get(img))
+
+
+def render_replicated_params(scene: Scene, params, mesh: Mesh):
+    """Place params replicated on every chip of the mesh (uniform upload
+    analogue, `Graphics.cpp:316-348`)."""
+    spec = NamedSharding(mesh, P())
+    return jax.device_put(params, spec)

@@ -1,0 +1,307 @@
+"""The pure-JAX oracle integrator — gen-1 (`RayMarch.glsl`) semantics.
+
+This is the semantics oracle everything else is tested against (SURVEY.md §7
+step 2): a jitted, CPU-runnable, fully-vectorized re-statement of the GLSL
+per-pixel pipeline:
+
+    main → trace → march loop (≤maxSteps map evals × ≤maxBounces bounces)
+    RayMarch.glsl:567-613, :483-565, :233-257
+
+Design notes (TPU-first):
+  * The march is a `lax.while_loop` over the *whole pixel batch* with a
+    per-pixel done mask — the batch exits when every lane has hit or missed.
+    TPUs have no per-lane early-out; uniform tiles converge together, which
+    is exactly what the Pallas kernel exploits later.
+  * The bounce loop is `lax.fori_loop`; the shading code (trace-time-composed
+    scene graphs) is traced ONCE, with the bounce index folded into the
+    counter-based RNG stream.
+  * Optional next-event estimation ("direct light") reproduces the gen-2
+    direct-light + shadow-march pattern (`RayMarch2.glsl:480-501`) against
+    the scene's `lights` (soft shadows via light marching — BASELINE
+    config 2).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from raymarchrenderer_tpu.core.rng import RNGStream
+from raymarchrenderer_tpu.core.sampling import uniform_sphere
+from raymarchrenderer_tpu.core.vecmath import Vec3, vselect
+from raymarchrenderer_tpu.render.config import RenderConfig
+from raymarchrenderer_tpu.render.raygen import eye_vec, pixel_grid, primary_rays
+from raymarchrenderer_tpu.scene.graph import Scene
+from raymarchrenderer_tpu.scene.nodes import ShadeCtx
+
+_PI = 3.14159265358979323846
+
+
+def march(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
+          dist_mult, active):
+    """Sphere trace: returns (t, mat_index, hit_mask).
+
+    Parity with `march` (`RayMarch.glsl:233-257`): per step evaluate
+    map(o + t d) * dist_mult; hit when < hit_eps (returning the *pre-step*
+    t); miss when t >= max_dist; advance t += dist * step_multiply; give up
+    after max_steps → miss."""
+    shape = jnp.shape(o.x)
+    t0 = jnp.zeros(shape, jnp.float32)
+    mid0 = jnp.full(shape, -1, jnp.int32)
+    hit0 = jnp.zeros(shape, bool)
+    done0 = ~active
+
+    def cond(s):
+        _, _, _, done, step = s
+        return (step < cfg.max_steps) & jnp.any(~done)
+
+    def body(s):
+        t, mid, hitm, done, step = s
+        p = o + d * t
+        dist, m = scene.map(params, p, cfg.max_dist)
+        dist = dist * dist_mult
+        is_hit = (dist < cfg.hit_eps) & ~done
+        is_miss = (t >= cfg.max_dist) & ~done & ~is_hit
+        mid = jnp.where(is_hit, m, mid)
+        hitm = hitm | is_hit
+        done = done | is_hit | is_miss
+        t = jnp.where(done, t, t + dist * cfg.step_multiply)
+        return t, mid, hitm, done, step + 1
+
+    t, mid, hitm, _, _ = lax.while_loop(
+        cond, body, (t0, mid0, hit0, done0, jnp.int32(0)))
+    t = jnp.where(hitm, t, cfg.max_dist)
+    mid = jnp.where(hitm, mid, -1)
+    return t, mid, hitm
+
+
+def get_normal(scene: Scene, params, cfg: RenderConfig, p: Vec3) -> Vec3:
+    """Central-difference SDF gradient (`getNormal`, `RayMarch.glsl:259-268`;
+    ε = 0.001)."""
+    e = cfg.normal_eps
+    ex = Vec3.full(jnp.shape(p.x), e, 0.0, 0.0)
+    ey = Vec3.full(jnp.shape(p.x), 0.0, e, 0.0)
+    ez = Vec3.full(jnp.shape(p.x), 0.0, 0.0, e)
+    md = lambda q: scene.map_dist(params, q, cfg.max_dist)  # noqa: E731
+    n = Vec3(md(p + ex) - md(p - ex),
+             md(p + ey) - md(p - ey),
+             md(p + ez) - md(p - ez))
+    return n.normalized()
+
+
+class _TraceState(NamedTuple):
+    o: Vec3
+    d: Vec3
+    color: Vec3       # multiplicative throughput (starts at `channels`)
+    extra: Vec3       # additive radiance from next-event estimation
+    inside: jax.Array  # float 0/1
+    active: jax.Array  # bool
+
+
+def _direct_light(scene: Scene, params, cfg: RenderConfig, hitp: Vec3,
+                  normal: Vec3, throughput: Vec3, albedo: Vec3,
+                  rng: RNGStream, mask):
+    """Next-event estimation against the scene's sphere lights with a shadow
+    march — the gen-2 direct-light pattern (`RayMarch2.glsl:480-501`):
+    contribution = T · (albedo/π) · cos⁺ · power/dist², gated by a march
+    toward a jittered point on the light (soft shadows)."""
+    total = Vec3.zeros(jnp.shape(hitp.x))
+    for li in range(scene.n_lights):
+        lrng = rng.fork(101 + li)
+        lpos, lpower, lradius = scene.light(params, li)
+        jit = uniform_sphere(lrng.next(), lrng.next()) * lradius
+        target = lpos + jit
+        delta = target - hitp
+        dist_l = delta.length()
+        ldir = delta / jnp.maximum(dist_l, 1e-8)
+        o_sh = hitp + normal * cfg.surface_offset
+        ones = jnp.ones(jnp.shape(hitp.x), jnp.float32)
+        # Shadow visibility is binary — detach its march so reverse-mode
+        # never tries to transpose the while_loop (gradients still flow via
+        # the cos/falloff/albedo terms).
+        sd, _, _ = march(scene, lax.stop_gradient(params), cfg,
+                         lax.stop_gradient(o_sh), lax.stop_gradient(ldir),
+                         ones, mask)
+        lit = sd >= dist_l
+        cos_t = jnp.maximum(ldir.dot(normal), 0.0)
+        fall = lpower / jnp.maximum(dist_l * dist_l, 1e-8)
+        contrib = throughput * albedo * (cos_t * fall / _PI)
+        total = total + vselect(lit & mask, contrib, Vec3.zeros(jnp.shape(hitp.x)))
+    return total
+
+
+def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
+              px, py, sample, channels: Vec3,
+              direct_light: bool = False,
+              differentiable: bool = False) -> Vec3:
+    """Gen-1 `trace` (`RayMarch.glsl:483-565`), fully masked.
+
+    Paths terminate on emission (dir == 0), on sky miss, or after
+    max_bounces; throughput multiplies material colors; `inside` flips the
+    march direction multiplier for dielectric interiors.
+
+    `differentiable=True` swaps the march for the reparameterized-adjoint
+    version (`diff.march_diff`) so `jax.grad` flows through hit geometry to
+    scene parameters (inverse rendering, BASELINE config 4)."""
+    shape = jnp.shape(d0.x)
+    ones = jnp.ones(shape, jnp.float32)
+    if differentiable:
+        from raymarchrenderer_tpu.diff.march import march_diff
+
+        def march_fn(o, d, dist_mult, active):
+            return march_diff(scene, cfg, params, o, d, dist_mult, active)
+    else:
+        def march_fn(o, d, dist_mult, active):
+            return march(scene, params, cfg, o, d, dist_mult, active)
+
+    def body(b, st: _TraceState):
+        dist_mult = 1.0 - 2.0 * st.inside
+        t, mid, hitm = march_fn(st.o, st.d, dist_mult, st.active)
+        hitp = st.o + st.d * t
+        normal = get_normal(scene, params, cfg, hitp)
+        rng = RNGStream(cfg.seed, px, py, sample, b)
+        ctx = ShadeCtx(st.o, st.d, t, hitp, st.inside, normal, channels, rng)
+        s = scene.shade(params, ctx, mid)
+
+        hit_active = st.active & hitm
+        miss_active = st.active & ~hitm
+        sky = scene.sky(params, st.d)
+        mult = vselect(hit_active, s.color,
+                       vselect(miss_active, sky,
+                               Vec3(ones, ones, ones)))
+        color = st.color * mult
+
+        new_inside_b = s.inside.x > 0.5
+        inside = jnp.where(hit_active, new_inside_b.astype(jnp.float32),
+                           st.inside)
+        term = (s.dir.x == 0.0) & (s.dir.y == 0.0) & (s.dir.z == 0.0)
+        active = hit_active & ~term
+
+        extra = st.extra
+        if direct_light and scene.n_lights:
+            extra = extra + _direct_light(
+                scene, params, cfg, hitp, normal, st.color, s.color,
+                rng.fork(7), hit_active & ~term)
+
+        override = (s.hit.x != 0.0) | (s.hit.y != 0.0) | (s.hit.z != 0.0)
+        off = jnp.where(new_inside_b, -cfg.inside_offset, cfg.exit_offset)
+        o_next = vselect(override, s.hit, hitp + normal * off)
+        o = vselect(active, o_next, st.o)
+        d = vselect(active, s.dir, st.d)
+        return _TraceState(o, d, color, extra, inside, active)
+
+    init = _TraceState(
+        o=eye, d=d0, color=channels, extra=Vec3.zeros(shape),
+        inside=jnp.zeros(shape, jnp.float32), active=jnp.ones(shape, bool))
+    out = lax.fori_loop(0, cfg.max_bounces, body, init)
+    # paths still active after max_bounces return their bare albedo product,
+    # exactly like the reference's loop falling off the end (RayMarch.glsl:493)
+    return out.color + out.extra
+
+
+def render_patch(scene: Scene, params, cfg: RenderConfig, corners,
+                 origin_xy, patch_shape, sample,
+                 direct_light: bool = False,
+                 differentiable: bool = False) -> Vec3:
+    """One sample of a rectangular pixel patch with *dynamic* origin and
+    *static* shape — the unit of work shared by tile scheduling and by
+    tile sharding across chips.  Because the RNG is keyed on absolute pixel
+    coordinates, any patch decomposition is bitwise-identical to the full
+    frame."""
+    ph, pw = patch_shape
+    ox, oy = origin_xy[0], origin_xy[1]
+    py = jnp.broadcast_to(jnp.arange(ph, dtype=jnp.int32)[:, None] + oy,
+                          (ph, pw))
+    px = jnp.broadcast_to(jnp.arange(pw, dtype=jnp.int32)[None, :] + ox,
+                          (ph, pw))
+    rng = RNGStream(cfg.seed, px, py, sample, jnp.uint32(1 << 20))
+    d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
+    e = eye_vec(corners)
+    eye = Vec3(jnp.broadcast_to(e.x, (ph, pw)),
+               jnp.broadcast_to(e.y, (ph, pw)),
+               jnp.broadcast_to(e.z, (ph, pw)))
+    if not cfg.separate_channels:
+        channels = Vec3.full((ph, pw), 1.0, 1.0, 1.0)
+        return trace_rgb(scene, params, cfg, eye, d, px, py, sample,
+                         channels, direct_light, differentiable)
+    total = Vec3.zeros((ph, pw))
+    for ci, mask in enumerate(((1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                               (0.0, 0.0, 1.0))):
+        channels = Vec3.full((ph, pw), *mask)
+        s_id = sample * jnp.uint32(4) + jnp.uint32(ci + 1)
+        total = total + trace_rgb(scene, params, cfg, eye, d, px, py,
+                                  s_id, channels, direct_light,
+                                  differentiable)
+    return total
+
+
+def render_sample(scene: Scene, params, cfg: RenderConfig, corners,
+                  sample, direct_light: bool = False,
+                  differentiable: bool = False) -> Vec3:
+    """One full-frame sample (all pixels, 1 spp) — the body of one
+    `Graphics::Render` dispatch (`Graphics.cpp:314-354`) without tiling."""
+    px, py = pixel_grid(cfg.width, cfg.height)
+    rng = RNGStream(cfg.seed, px, py, sample, jnp.uint32(1 << 20))
+    d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
+    shape = (cfg.height, cfg.width)
+    e = eye_vec(corners)
+    eye = Vec3(jnp.broadcast_to(e.x, shape), jnp.broadcast_to(e.y, shape),
+               jnp.broadcast_to(e.z, shape))
+
+    if not cfg.separate_channels:
+        channels = Vec3.full(shape, 1.0, 1.0, 1.0)
+        return trace_rgb(scene, params, cfg, eye, d, px, py, sample,
+                         channels, direct_light, differentiable)
+    # dispersion mode: trace R, G, B separately and sum
+    # (`RayMarch.glsl:586-598`); fold the channel into the RNG sample id so
+    # the three traces draw independent streams.
+    total = Vec3.zeros(shape)
+    for ci, mask in enumerate(((1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                               (0.0, 0.0, 1.0))):
+        channels = Vec3.full(shape, *mask)
+        s_id = sample * jnp.uint32(4) + jnp.uint32(ci + 1)
+        total = total + trace_rgb(scene, params, cfg, eye, d, px, py,
+                                  s_id, channels, direct_light,
+                                  differentiable)
+    return total
+
+
+def accumulate(accum, color: Vec3, n):
+    """Progressive running mean (`RayMarch.glsl:600-612`):
+    new/(n+1) + old·n/(n+1).  `accum` is an (H, W, 3) array."""
+    f1 = 1.0 / (n + 1.0)
+    f2 = n / (n + 1.0)
+    return color.stack(-1) * f1 + accum * f2
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 6))
+def _sample_step(scene, params, cfg, corners, accum_n, sample,
+                 direct_light=False):
+    accum, n = accum_n
+    color = render_sample(scene, params, cfg, corners, sample, direct_light)
+    return accumulate(accum, color, n), n + 1.0
+
+
+def render(scene: Scene, params, cfg: RenderConfig, corners,
+           spp: int = None, direct_light: bool = False,
+           accum=None, n0: float = 0.0, callback=None):
+    """Progressive render: `spp` samples accumulated into a running mean.
+
+    Restartable: pass (`accum`, `n0`) from a checkpoint to resume — the
+    accumulation buffer IS the checkpoint (SURVEY.md §5).  Returns
+    (image (H,W,3) float32 linear, n_samples)."""
+    spp = cfg.spp if spp is None else spp
+    if accum is None:
+        accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    n = jnp.float32(n0)
+    state = (accum, n)
+    for s in range(int(n0), int(n0) + spp):
+        state = _sample_step(scene, params, cfg, corners, state,
+                             jnp.uint32(s), direct_light)
+        if callback is not None:
+            callback(s, state)
+    accum, n = state
+    return accum, float(n)

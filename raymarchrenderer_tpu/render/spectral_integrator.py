@@ -1,0 +1,171 @@
+"""The spectral (wavelength-transport) integrator — gen-3 `RayMarch3.glsl`.
+
+Per-path state is a single wavelength (nm, 5 nm bins, 0 == "unset") plus a
+scalar power (`RayMarch3.glsl:347-444`).  Materials are `ColorRange` band
+filters × a power multiplier; emitters sample a wavelength from their band
+on first contact and terminate the path; surfaces bounce with a uniform
+hemisphere.  The sky is a 390–830 nm, power-0.015 emitter.  The final splat
+is `wavelengthToColor(λ) · power` (`:447-522`).
+
+Geometry reuses the RGB scene IR (`Scene.map`); spectral materials are a
+flat SoA table aligned with the scene's material order.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import numpy as np
+
+from raymarchrenderer_tpu.core.rng import RNGStream
+from raymarchrenderer_tpu.core.sampling import uniform_sphere_or_hemisphere
+from raymarchrenderer_tpu.core.spectral import wavelength_to_rgb
+from raymarchrenderer_tpu.core.vecmath import Vec3, vselect
+from raymarchrenderer_tpu.render.config import RenderConfig
+from raymarchrenderer_tpu.render.integrator import get_normal, march
+from raymarchrenderer_tpu.render.raygen import eye_vec, pixel_grid, primary_rays
+from raymarchrenderer_tpu.scene.graph import Scene
+
+
+class SpectralMaterials(NamedTuple):
+    """SoA band-filter table, one row per scene material index.
+
+    kind 0 = surface (band filter then hemisphere bounce, `mat_func_1/2`);
+    kind 1 = emitter (band filter then terminate, `mat_func_0` + the
+    unconditional break `RayMarch3.glsl:380`)."""
+    min_wave: jax.Array   # f32[M]
+    max_wave: jax.Array   # f32[M]
+    power: jax.Array      # f32[M]
+    kind: jax.Array       # i32[M]
+
+    @staticmethod
+    def table(rows) -> "SpectralMaterials":
+        """rows: sequence of (min_wave, max_wave, power, kind)."""
+        a = np.asarray(rows, np.float32).reshape(-1, 4)
+        return SpectralMaterials(
+            jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]),
+            jnp.asarray(a[:, 3].astype(np.int32)))
+
+
+def _apply_band(wl, power, u, min_w, max_w, mat_p):
+    """One `mat_func_N` body (`RayMarch3.glsl:251-281`).
+
+    unset (wl==0): sample wl = floor(u·(max−min)/5)·5 + min, power ×= p.
+    set: outside [min, max] → absorbed (wl := 0, terminate);
+         inside → power ×= p.  Returns (wl, power, absorbed)."""
+    r = u * (max_w - min_w) / 5.0
+    sampled = jnp.floor(r) * 5.0 + min_w
+    unset = wl == 0.0
+    outside = (wl < min_w) | (wl > max_w)
+    new_wl = jnp.where(unset, sampled, jnp.where(outside, 0.0, wl))
+    new_power = jnp.where(unset | ~outside, power * mat_p, power)
+    absorbed = ~unset & outside
+    return new_wl, new_power, absorbed
+
+
+def trace_spectral(scene: Scene, params, mats: SpectralMaterials,
+                   cfg: RenderConfig, eye: Vec3, d0: Vec3, px, py, sample):
+    """Gen-3 `trace` (`RayMarch3.glsl:347-444`), masked over the pixel batch.
+
+    Returns (wavelength, power) per pixel."""
+    shape = jnp.shape(d0.x)
+    sky_min, sky_max, sky_p = 390.0, 830.0, jnp.float32(cfg.sky_power)
+
+    def body(b, st):
+        o, d, wl, power, active = st
+        ones = jnp.ones(shape, jnp.float32)
+        t, mid, hitm = march(scene, params, cfg, o, d, ones, active)
+        hitp = o + d * t
+        normal = get_normal(scene, params, cfg, hitp)
+        rng = RNGStream(cfg.seed, px, py, sample, b)
+
+        midc = jnp.clip(mid, 0, mats.min_wave.shape[0] - 1)
+        m_min = mats.min_wave[midc]
+        m_max = mats.max_wave[midc]
+        m_pow = mats.power[midc]
+        m_kind = mats.kind[midc]
+
+        u = rng.next()
+        hit_active = active & hitm
+        miss_active = active & ~hitm
+
+        # surface / emitter band filter
+        wl_h, pw_h, absorbed = _apply_band(wl, power, u, m_min, m_max, m_pow)
+        # sky emitter on miss
+        wl_s, pw_s, absorbed_s = _apply_band(wl, power, u, sky_min, sky_max,
+                                             sky_p)
+
+        new_wl = jnp.where(hit_active, wl_h, jnp.where(miss_active, wl_s, wl))
+        new_power = jnp.where(hit_active, pw_h,
+                              jnp.where(miss_active, pw_s, power))
+
+        # terminate: emitter hit, absorption, or any miss (sky terminates)
+        terminate = (hit_active & ((m_kind == 1) | absorbed)) | miss_active
+        new_active = active & hitm & ~terminate
+
+        new_dir = uniform_sphere_or_hemisphere(rng.next(), rng.next(), normal)
+        o2 = hitp + normal * cfg.surface_offset  # 0.002, RayMarch3.glsl:405
+        o = vselect(new_active, o2, o)
+        d = vselect(new_active, new_dir, d)
+        return o, d, new_wl, new_power, new_active
+
+    init = (eye, d0, jnp.zeros(shape, jnp.float32),
+            jnp.ones(shape, jnp.float32), jnp.ones(shape, bool))
+    _, _, wl, power, still = lax.fori_loop(0, cfg.max_bounces, body, init)
+    # paths that exhaust maxBounces keep their (possibly unset) wavelength —
+    # wl==0 maps to black, exactly like the GLSL uint 0 → wavelengthToColor(0)
+    return wl, power
+
+
+def render_sample_spectral(scene: Scene, params, mats: SpectralMaterials,
+                           cfg: RenderConfig, corners, sample) -> Vec3:
+    """One full-frame spectral sample → linear RGB via `wavelengthToColor`."""
+    px, py = pixel_grid(cfg.width, cfg.height)
+    rng = RNGStream(cfg.seed, px, py, sample, jnp.uint32(1 << 20))
+    d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
+    shape = (cfg.height, cfg.width)
+    e = eye_vec(corners)
+    eye = Vec3(jnp.broadcast_to(e.x, shape), jnp.broadcast_to(e.y, shape),
+               jnp.broadcast_to(e.z, shape))
+    wl, power = trace_spectral(scene, params, mats, cfg, eye, d, px, py,
+                               sample)
+    return wavelength_to_rgb(wl) * power
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _spectral_step(scene, params, mats, cfg, corners, accum_n, sample):
+    from raymarchrenderer_tpu.render.integrator import accumulate
+    accum, n = accum_n
+    color = render_sample_spectral(scene, params, mats, cfg, corners, sample)
+    return accumulate(accum, color, n), n + 1.0
+
+
+def render_spectral(scene: Scene, params, mats: SpectralMaterials,
+                    cfg: RenderConfig, corners, spp: int = None,
+                    accum=None, n0: float = 0.0):
+    spp = cfg.spp if spp is None else spp
+    if accum is None:
+        accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    state = (accum, jnp.float32(n0))
+    for s in range(int(n0), int(n0) + spp):
+        state = _spectral_step(scene, params, mats, cfg, corners, state,
+                               jnp.uint32(s))
+    return state[0], float(state[1])
+
+
+def spectral_demo():
+    """The gen-3 hardcoded scene (`RayMarch3.glsl:132-143,251-345`):
+    380–780 nm power-8 sphere emitter, 380–780 nm ×0.8 floor,
+    490–590 nm ×0.8 sphere.  Returns (scene, params, mats)."""
+    from raymarchrenderer_tpu.scene.builtin import sphere_on_floor
+    scene = sphere_on_floor()  # same geometry, material order 0/1/2
+    mats = SpectralMaterials.table([
+        (380.0, 780.0, 8.0, 1),    # mat 0: emitter (mat_func_0)
+        (380.0, 780.0, 0.8, 0),    # mat 1: floor   (mat_func_1)
+        (490.0, 590.0, 0.8, 0),    # mat 2: sphere  (mat_func_2)
+    ])
+    return scene, scene.init_params(), mats

@@ -1,0 +1,369 @@
+"""Scene IR: JSON node-graph scenes → trace-time-composed JAX functions.
+
+The reference stores scenes as JSON node graphs (`data/scenes/*.scene`) and
+compiles them to GLSL source spliced into the kernel (`Graphics.cpp:511-752`).
+Here the same JSON is parsed into a static structure (`Scene`) whose graph
+*constants* are pulled out into a parameter pytree; evaluating the scene's
+`map` / `shade` / `sky` against a pixel batch composes the node functions at
+JAX trace time into one fused XLA program.  Structure is static (hashable,
+jit-friendly); parameters are leaves (differentiable — inverse rendering gets
+gradients w.r.t. every shape/material/light constant for free).
+
+Both reference scene-format generations are supported (SURVEY.md §2 #13):
+  * old format (`default.scene`, ...): named/indexed register slots,
+    `total_vars`, output bindings `color`/`dir`/`inside`/`hit`, literal
+    vec3 inputs; material semantics = gen-1 `RayMarch.glsl` shader library.
+  * new format (`simple.scene`): `constants` table + `[node, out]` input
+    refs + final `output` node; material semantics = gen-2 `RayMarch2.glsl`
+    BRDF library (the `compileNode` path, `Graphics.cpp:412-463`).
+
+Extensions over the reference (documented, not breaking parity):
+  * `lights` — explicit sphere lights for next-event estimation / soft
+    shadows via light marching (BASELINE config 2).
+  * `environment` — constant-power sky (`RayMarch.glsl:101`: 0.015) or an
+    equirect env image (the reference's `veranda_1k.hdr` path,
+    `Graphics.cpp:287` + `skyColor` `RayMarch.glsl:78-97`).
+  * extra SDF primitives (plane/torus/cylinder/capsule, smooth union).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from raymarchrenderer_tpu.core.vecmath import Vec3, vselect
+from raymarchrenderer_tpu.scene.nodes import (
+    MATERIAL_NODES, OBJECT_NODES, ShadeCtx, ShaderOut,
+    misc_fresnel, shader_diffuse2, shader_glossy2, shader_mix2,
+)
+
+# input descriptors (static structure)
+_PARAM = "param"   # ('param', param_index)
+_VAR = "var"       # ('var', register_key)
+_POINT = "point"   # ('point',) — the sample point p (object graphs, -1)
+_NODE = "node"     # ('node', node_index, out_index) — new format
+
+
+@dataclasses.dataclass(frozen=True)
+class NodeSpec:
+    name: str
+    inputs: Tuple[Tuple, ...]          # input descriptors
+    outputs: Tuple[Any, ...] = ()      # register keys (old format)
+
+
+@dataclasses.dataclass(frozen=True)
+class MaterialDef:
+    mat_id: int
+    fmt: str                           # 'old' | 'new'
+    nodes: Tuple[NodeSpec, ...]
+    bindings: Tuple[Any, Any, Any, Any] = (-1, -1, -1, -1)  # color,dir,inside,hit
+    output: int = -1                   # new format: final node index
+
+
+@dataclasses.dataclass(frozen=True)
+class ObjectDef:
+    mat_id: int
+    nodes: Tuple[NodeSpec, ...]
+    distance: Any = 0                  # register key of the distance output
+
+
+@dataclasses.dataclass(frozen=True)
+class Light:
+    """Sphere light for NEE/soft shadows (extension; params live in pytree)."""
+    index: int
+
+
+def _as_param(value) -> np.ndarray:
+    if isinstance(value, (list, tuple)):
+        return np.asarray(value, np.float32)
+    return np.asarray(float(value), np.float32)
+
+
+def _param_to_vec3(a: jnp.ndarray) -> Vec3:
+    """Broadcastable Vec3 view of a parameter: (3,) → components, () → splat."""
+    if a.ndim == 0:
+        return Vec3(a, a, a)
+    return Vec3(a[0], a[1], a[2])
+
+
+class _Parser:
+    """Collects graph constants into an ordered parameter list."""
+
+    def __init__(self):
+        self.params: List[np.ndarray] = []
+
+    def const(self, value) -> Tuple:
+        self.params.append(_as_param(value))
+        return (_PARAM, len(self.params) - 1)
+
+
+def _parse_material(m: dict) -> Tuple[MaterialDef, List[np.ndarray]]:
+    p = _Parser()
+    if "output" in m:  # new format
+        consts = [_as_param(c) for c in m.get("constants", [])]
+        nodes = []
+        for n in m["nodes"]:
+            ins = []
+            for ref in n.get("inputs", []):
+                a, b = int(ref[0]), int(ref[1])
+                ins.append((_PARAM, b) if a == -1 else (_NODE, a, b))
+            nodes.append(NodeSpec(n["name"], tuple(ins)))
+        mat = MaterialDef(int(m["id"]), "new", tuple(nodes),
+                          output=int(m["output"]))
+        return mat, consts
+
+    nodes = []
+    for n in m["nodes"]:
+        ins = []
+        for ref in n.get("inputs", []):
+            if isinstance(ref, (list, tuple)) or isinstance(ref, float):
+                ins.append(p.const(ref))
+            else:
+                ins.append((_VAR, ref))
+        outs = tuple(n.get("outputs", []))
+        nodes.append(NodeSpec(n["name"], tuple(ins), outs))
+    bind = tuple(m.get(k, -1) for k in ("color", "dir", "inside", "hit"))
+    return MaterialDef(int(m["id"]), "old", tuple(nodes), bind), p.params
+
+
+def _parse_object(o: dict) -> Tuple[ObjectDef, List[np.ndarray]]:
+    p = _Parser()
+    nodes = []
+    for n in o["nodes"]:
+        ins = []
+        for ref in n.get("inputs", []):
+            if isinstance(ref, int) and ref == -1:
+                ins.append((_POINT,))
+            elif isinstance(ref, (list, tuple)) or isinstance(ref, float):
+                ins.append(p.const(ref))
+            else:
+                ins.append((_VAR, ref))
+        nodes.append(NodeSpec(n["name"], tuple(ins), tuple(n.get("outputs", []))))
+    return ObjectDef(int(o["matID"]), tuple(nodes), o.get("distance", 0)), p.params
+
+
+_NEW_FMT_NODES = {
+    "shader_diffuse": shader_diffuse2,
+    "shader_glossy": shader_glossy2,
+    "shader_mix": shader_mix2,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """Static scene structure.  `init_params()` yields the matching pytree;
+    every evaluation method takes (params, ...) so the whole scene is a pure
+    function of its parameters — `jax.grad` w.r.t. params is inverse
+    rendering."""
+
+    materials: Tuple[MaterialDef, ...]
+    objects: Tuple[ObjectDef, ...]
+    n_lights: int = 0
+    has_env_map: bool = False
+
+    # parse-time initial values (not part of the static hash)
+    _init: dict = dataclasses.field(default=None, compare=False, hash=False,
+                                    repr=False)
+
+    # -- params ---------------------------------------------------------------
+    def init_params(self) -> dict:
+        return _to_jnp(self._init)
+
+    # -- id mapping -----------------------------------------------------------
+    def mat_index(self, mat_id: int) -> int:
+        for i, m in enumerate(self.materials):
+            if m.mat_id == mat_id:
+                return i
+        raise KeyError(f"material id {mat_id} not in scene")
+
+    # -- SDF map ---------------------------------------------------------------
+    def map(self, params: dict, p: Vec3, max_dist: float):
+        """(dist, mat_index) at p — the generated `map()` fold
+        (`Graphics.cpp:705-739` emit → `RayMarch.glsl:224-231`)."""
+        shape = jnp.shape(p.x)
+        d = jnp.full(shape, max_dist, jnp.float32)
+        mid = jnp.full(shape, -1, jnp.int32)
+        for oi, obj in enumerate(self.objects):
+            di = _eval_object(obj, params["objects"][oi], p)
+            take = di < d
+            d = jnp.where(take, di, d)
+            mid = jnp.where(take, jnp.int32(self.mat_index(obj.mat_id)), mid)
+        return d, mid
+
+    def map_dist(self, params: dict, p: Vec3, max_dist: float):
+        d, _ = self.map(params, p, max_dist)
+        return d
+
+    # -- shading ----------------------------------------------------------------
+    def shade(self, params: dict, ctx: ShadeCtx, mat_index) -> ShaderOut:
+        """Evaluate every material graph and select by per-pixel mat index —
+        the vectorized equivalent of the generated GLSL switch
+        (`//#CASEINSERT`, `Graphics.cpp:69-88`)."""
+        shape = jnp.shape(ctx.t)
+        out = ShaderOut(Vec3.zeros(shape), Vec3.zeros(shape),
+                        Vec3.zeros(shape), Vec3.zeros(shape))
+        for i, mat in enumerate(self.materials):
+            s = _eval_material(mat, params["materials"][i], ctx)
+            take = mat_index == i
+            out = ShaderOut(vselect(take, s.color, out.color),
+                            vselect(take, s.dir, out.dir),
+                            vselect(take, s.inside, out.inside),
+                            vselect(take, s.hit, out.hit))
+        return out
+
+    def is_emissive(self, i: int) -> bool:
+        """True if material i's graph reaches shader_emission (terminal)."""
+        return any(n.name == "shader_emission" for n in self.materials[i].nodes)
+
+    # -- sky ---------------------------------------------------------------------
+    def sky(self, params: dict, direction: Vec3) -> Vec3:
+        """`skyColor` (`RayMarch.glsl:78-113`): equirect env map when present,
+        else constant vec3(power)."""
+        if self.has_env_map:
+            img = params["env"]["image"]  # (H, W, 3) linear float32
+            h, w = img.shape[0], img.shape[1]
+            two_pi = 2.0 * np.pi
+            phi = jnp.arctan2(direction.z, direction.x)
+            phi = jnp.where(phi < 0, phi + two_pi, phi)
+            u = phi / two_pi
+            v = 1.0 - (direction.y * 0.5 + 0.5)
+            xi = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+            yi = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+            texel = img[yi, xi]  # gather
+            return Vec3(texel[..., 0], texel[..., 1], texel[..., 2])
+        power = params["env"]["power"]
+        shape = jnp.shape(direction.x)
+        c = jnp.broadcast_to(power, shape)
+        return Vec3(c, c, c)
+
+    # -- lights (extension) --------------------------------------------------------
+    def light(self, params: dict, i: int):
+        lp = params["lights"]
+        return (_param_to_vec3(lp["pos"][i]), lp["power"][i], lp["radius"][i])
+
+
+def _to_jnp(tree):
+    if isinstance(tree, dict):
+        return {k: _to_jnp(v) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_to_jnp(v) for v in tree]
+    return jnp.asarray(tree)
+
+
+# -----------------------------------------------------------------------------
+# graph evaluation
+# -----------------------------------------------------------------------------
+
+def _resolve(desc, params, vars_, point=None):
+    kind = desc[0]
+    if kind == _PARAM:
+        return _param_to_vec3(params[desc[1]])
+    if kind == _VAR:
+        return vars_[desc[1]]
+    if kind == _POINT:
+        return point
+    raise ValueError(f"unresolvable input {desc}")
+
+
+def _eval_material(mat: MaterialDef, params: Sequence, ctx: ShadeCtx) -> ShaderOut:
+    shape = jnp.shape(ctx.t)
+    zero = Vec3.zeros(shape)
+    if mat.fmt == "new":
+        memo: Dict[int, Any] = {}
+
+        def ev(ni: int):
+            if ni in memo:
+                return memo[ni]
+            node = mat.nodes[ni]
+            ins = []
+            for desc in node.inputs:
+                if desc[0] == _PARAM:
+                    ins.append(_param_to_vec3(params[desc[1]]))
+                else:
+                    ins.append(ev(desc[1]))
+            if node.name == "misc_fresnel":
+                out = misc_fresnel(ctx)[0]
+            elif node.name in _NEW_FMT_NODES:
+                out = _NEW_FMT_NODES[node.name](ctx, *ins)
+            else:
+                raise KeyError(f"unknown new-format node {node.name}")
+            memo[ni] = out
+            return out
+
+        out = ev(mat.output)
+        if not isinstance(out, ShaderOut):
+            raise ValueError("new-format material output node must be a shader")
+        return out
+
+    # old format: sequential register machine
+    vars_: Dict[Any, Vec3] = {}
+    for node in mat.nodes:
+        fn = MATERIAL_NODES[node.name]
+        ins = [_resolve(d, params, vars_) for d in node.inputs]
+        outs = fn(ctx, *ins)
+        for key, val in zip(node.outputs, outs):
+            vars_[key] = val
+
+    def bind(key) -> Vec3:
+        if isinstance(key, int) and key == -1:
+            return zero
+        return vars_.get(key, zero)
+
+    color_b, dir_b, inside_b, hit_b = mat.bindings
+    return ShaderOut(bind(color_b), bind(dir_b), bind(inside_b), bind(hit_b))
+
+
+def _eval_object(obj: ObjectDef, params: Sequence, p: Vec3):
+    vars_: Dict[Any, Vec3] = {}
+    for node in obj.nodes:
+        fn = OBJECT_NODES[node.name]
+        ins = [_resolve(d, params, vars_, point=p) for d in node.inputs]
+        outs = fn(*ins)
+        for key, val in zip(node.outputs, outs):
+            vars_[key] = val
+    return vars_[obj.distance].x
+
+
+# -----------------------------------------------------------------------------
+# loading
+# -----------------------------------------------------------------------------
+
+def loads_scene(text: str, env_image: Optional[np.ndarray] = None) -> Scene:
+    """Parse a `.scene` JSON string (either format generation)."""
+    doc = json.loads(text)
+    mats, mat_params = [], []
+    for m in doc.get("materials", []):
+        md, pp = _parse_material(m)
+        mats.append(md)
+        mat_params.append(pp)
+    objs, obj_params = [], []
+    for o in doc.get("objects", []):
+        od, pp = _parse_object(o)
+        objs.append(od)
+        obj_params.append(pp)
+
+    lights = doc.get("lights", [])
+    light_params = {
+        "pos": np.asarray([l["pos"] for l in lights], np.float32).reshape(-1, 3),
+        "power": np.asarray([l.get("power", 1.0) for l in lights], np.float32),
+        "radius": np.asarray([l.get("radius", 0.1) for l in lights], np.float32),
+    }
+
+    env = doc.get("environment", {})
+    env_params: Dict[str, Any] = {"power": np.float32(env.get("power", 0.015))}
+    has_env = env_image is not None
+    if has_env:
+        env_params["image"] = np.asarray(env_image, np.float32)
+
+    init = {"materials": mat_params, "objects": obj_params,
+            "lights": light_params, "env": env_params}
+    return Scene(tuple(mats), tuple(objs), n_lights=len(lights),
+                 has_env_map=has_env, _init=init)
+
+
+def load_scene(path: str, env_image: Optional[np.ndarray] = None) -> Scene:
+    with open(path) as f:
+        return loads_scene(f.read(), env_image)

@@ -1,0 +1,21 @@
+"""Test harness: force CPU with 8 virtual devices so sharding tests run
+without a TPU (SURVEY.md §4 item 5).
+
+The environment's TPU-relay site hook imports jax at interpreter start with
+the ambient JAX_PLATFORMS (a remote TPU tunnel whose backend init stalls
+~8 min per process), so mutating os.environ["JAX_PLATFORMS"] here is too
+late — the override must go through jax.config.update.  XLA_FLAGS is still
+read from the environment at (lazy) CPU-client init, so setting it here
+works as long as no jax computation has run yet.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,162 @@
+"""Differentiable rendering tests (BASELINE config 4).
+
+The north-star acceptance check: gradients of the march / pixel loss w.r.t.
+scene parameters match central finite differences (SURVEY.md §4 item 4).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raymarchrenderer_tpu.core.camera import Camera
+from raymarchrenderer_tpu.core.vecmath import Vec3
+from raymarchrenderer_tpu.diff.march import march_diff
+from raymarchrenderer_tpu.render.config import RenderConfig
+from raymarchrenderer_tpu.render.integrator import render_sample
+from raymarchrenderer_tpu.scene.builtin import single_sphere, sphere_on_floor
+
+CFG = RenderConfig(width=8, height=8, spp=1, max_steps=256,
+                   max_bounces=2, max_dist=100.0)
+
+
+def _t_of_radius(scene):
+    """March a single head-on ray at the unit sphere at (0,1,0); the hit
+    distance as a function of the radius parameter."""
+    base = scene.init_params()
+
+    def t_of(r):
+        params = jax.tree.map(lambda x: x, base)
+        # objects[0] params = [centre(3,), radius(3,)] for map_sphere
+        params["objects"][0][1] = jnp.full((3,), r, jnp.float32)
+        o = Vec3.full((1, 1), 0.0, 1.0, -5.0)
+        d = Vec3.full((1, 1), 0.0, 0.0, 1.0)
+        ones = jnp.ones((1, 1), jnp.float32)
+        active = jnp.ones((1, 1), bool)
+        t, _, _ = march_diff(scene, CFG, params, o, d, ones, active)
+        return t[0, 0]
+
+    return t_of
+
+
+class TestMarchAdjoint:
+    def test_dt_dradius_is_minus_one(self):
+        """Head-on ray: t = 5 - r exactly, so dt/dr = -1 (implicit fn)."""
+        scene = single_sphere()
+        t_of = _t_of_radius(scene)
+        t = t_of(1.0)
+        assert abs(float(t) - 4.0) < 0.05  # sphere-trace converges to eps
+        g = jax.grad(t_of)(1.0)
+        assert abs(float(g) + 1.0) < 1e-3
+
+    def test_dt_vs_finite_difference(self):
+        scene = single_sphere()
+        t_of = _t_of_radius(scene)
+        g = float(jax.grad(t_of)(0.8))
+        eps = 1e-3
+        fd = (float(t_of(0.8 + eps)) - float(t_of(0.8 - eps))) / (2 * eps)
+        np.testing.assert_allclose(g, fd, rtol=1e-2, atol=1e-3)
+
+    def test_miss_rays_zero_gradient(self):
+        scene = single_sphere()
+        base = scene.init_params()
+
+        def t_of(r):
+            params = jax.tree.map(lambda x: x, base)
+            params["objects"][0][1] = jnp.full((3,), r, jnp.float32)
+            o = Vec3.full((1, 1), 0.0, 10.0, -5.0)   # passes far above
+            d = Vec3.full((1, 1), 0.0, 0.0, 1.0)
+            ones = jnp.ones((1, 1), jnp.float32)
+            t, _, _ = march_diff(scene, CFG, params, o, d, ones,
+                                 jnp.ones((1, 1), bool))
+            return t[0, 0]
+
+        assert float(jax.grad(t_of)(1.0)) == 0.0
+
+    def test_gradient_to_ray_origin(self):
+        """dt/doz = -1 for a head-on +z ray (moving the origin closer)."""
+        scene = single_sphere()
+        params = scene.init_params()
+
+        def t_of(oz):
+            o = Vec3(jnp.zeros((1, 1)), jnp.ones((1, 1)),
+                     jnp.full((1, 1), oz))
+            d = Vec3.full((1, 1), 0.0, 0.0, 1.0)
+            ones = jnp.ones((1, 1), jnp.float32)
+            t, _, _ = march_diff(scene, CFG, params, o, d, ones,
+                                 jnp.ones((1, 1), bool))
+            return t[0, 0]
+
+        g = float(jax.grad(t_of)(-5.0))
+        np.testing.assert_allclose(g, -1.0, rtol=1e-3)
+
+
+class TestPixelGradients:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        scene = sphere_on_floor()
+        cfg = RenderConfig(width=24, height=24, spp=1, max_steps=128,
+                           max_bounces=2, max_dist=100.0)
+        corners = Camera(aspect=1.0).corner_rays_flat()
+        return scene, cfg, corners
+
+    def test_albedo_gradient_vs_fd(self, setup):
+        """d mean(image) / d ball-albedo-green: continuous parameter, so FD
+        on the same RNG stream matches closely."""
+        scene, cfg, corners = setup
+        base = scene.init_params()
+
+        def loss(g):
+            params = jax.tree.map(lambda x: x, base)
+            albedo = params["materials"][2][0]
+            params["materials"][2][0] = albedo.at[1].set(g)
+            img = render_sample(scene, params, cfg, corners, jnp.uint32(0),
+                                differentiable=True)
+            return jnp.mean(img.stack(-1))
+
+        loss_j = jax.jit(loss)
+        grad_j = jax.jit(jax.grad(loss))
+        g = float(grad_j(0.8))
+        eps = 1e-2
+        fd = (float(loss_j(0.8 + eps)) - float(loss_j(0.8 - eps))) / (2 * eps)
+        np.testing.assert_allclose(g, fd, rtol=5e-2, atol=1e-5)
+        assert g > 0.0  # brighter ball → brighter image
+
+    def test_geometry_gradient_flows(self):
+        """Gradient w.r.t. the ball radius is finite and nonzero through the
+        reparameterized march.
+
+        Note: with only diffuse albedos and emitters, radiance is piecewise
+        CONSTANT in geometry (albedo products don't depend on the hit
+        point), so the continuous gradient is legitimately zero — geometry
+        gradients appear through next-event estimation, whose cos/1-r²
+        terms vary smoothly with the hit point.  Hence direct_light=True."""
+        from raymarchrenderer_tpu.scene.builtin import SceneBuilder
+        b = SceneBuilder()
+        m_floor = b.diffuse([0.8, 0.8, 0.8])
+        m_ball = b.diffuse([0.5, 0.5, 0.5])
+        b.box(m_floor, [0, -0.025, 0], [32, 0.05, 32])
+        b.sphere(m_ball, [0, 1, 0], 1.0)
+        b.light([4, 6, -3], 40.0, 0.5)
+        b.sky(0.1)
+        scene = b.build()
+        base = scene.init_params()
+        cfg = RenderConfig(width=24, height=24, spp=1, max_steps=128,
+                           max_bounces=2, max_dist=100.0)
+        corners = Camera(aspect=1.0).corner_rays_flat()
+
+        def loss(r):
+            params = jax.tree.map(lambda x: x, base)
+            params["objects"][1][1] = jnp.full((3,), r, jnp.float32)
+            img = render_sample(scene, params, cfg, corners, jnp.uint32(0),
+                                direct_light=True, differentiable=True)
+            return jnp.mean(img.stack(-1))
+
+        loss_j = jax.jit(loss)
+        g = float(jax.jit(jax.grad(loss))(1.0))
+        assert np.isfinite(g)
+        assert g != 0.0
+        # FD check on the same RNG stream (loose: FD crosses silhouette
+        # discontinuities the reparameterized estimator doesn't model)
+        eps = 1e-3
+        fd = (float(loss_j(1.0 + eps)) - float(loss_j(1.0 - eps))) / (2 * eps)
+        np.testing.assert_allclose(g, fd, rtol=0.35, atol=2e-3)

@@ -1,0 +1,58 @@
+"""Sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4 item 5):
+the sharded render must be (bitwise-level) identical to the unsharded one
+for every mesh shape — the counter-based RNG guarantees it.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raymarchrenderer_tpu.core.camera import Camera
+from raymarchrenderer_tpu.parallel.sharding import (
+    ShardConfig, auto_shard, gather_image, make_mesh, render_sharded,
+)
+from raymarchrenderer_tpu.render.config import RenderConfig
+from raymarchrenderer_tpu.render.integrator import render
+from raymarchrenderer_tpu.scene import builtin
+
+CFG = RenderConfig(width=16, height=16, max_steps=32, max_bounces=2,
+                   max_dist=100.0)
+
+
+def _corners():
+    return Camera(aspect=1.0).corner_rays_flat()
+
+
+@pytest.fixture(scope="module")
+def scene_and_params():
+    s = builtin.sphere_on_floor()
+    return s, s.init_params()
+
+
+def _reference_image(scene, params, spp):
+    img, _ = render(scene, params, CFG, _corners(), spp=spp)
+    return np.asarray(img)
+
+
+@pytest.mark.parametrize("tile,spp_axis", [(4, 1), (1, 4), (2, 4)])
+def test_sharded_matches_unsharded(scene_and_params, tile, spp_axis):
+    scene, params = scene_and_params
+    if len(jax.devices()) < tile * spp_axis:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(ShardConfig(tile=tile, spp=spp_axis))
+    spp = 4
+    img = render_sharded(scene, params, CFG, _corners(), mesh, spp)
+    ref = _reference_image(scene, params, spp)
+    np.testing.assert_allclose(gather_image(img), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_auto_shard_covers_devices():
+    sc = auto_shard(8)
+    assert sc.total() == 8
+    sc = auto_shard(4)
+    assert sc.total() == 4
+
+
+def test_mesh_requires_enough_devices():
+    with pytest.raises(ValueError):
+        make_mesh(ShardConfig(tile=64, spp=64))
