@@ -1,0 +1,4 @@
+from raymarchrenderer_tpu.app.cli import main
+
+if __name__ == "__main__":
+    main()

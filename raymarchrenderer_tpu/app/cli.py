@@ -1,0 +1,287 @@
+"""CLI frontend: render / save / bench / repl.
+
+Supersedes the reference's two frontends:
+  * the SFGUI panel (`GUI.cpp:181-321`: Render button, samples, image W/H,
+    grid W/H, scene path) → flags on the `render` subcommand;
+  * the stdin REPL (`CLI.cpp:190-219`: load_scene, samples, grid_width,
+    grid_height, render, save) → the `repl` subcommand speaks the same
+    verbs.
+
+`render` is restartable: --checkpoint persists (accum, n, config) after
+every chunk and --resume continues from it (the reference's
+Escape-preserves-the-buffer semantics, `Program.cpp:188-194`).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _build_scene(args):
+    from raymarchrenderer_tpu.scene import builtin, load_scene
+    if args.scene and os.path.exists(args.scene):
+        return load_scene(args.scene)
+    builtins_ = {
+        "sphere_on_floor": builtin.sphere_on_floor,
+        "single_sphere": builtin.single_sphere,
+        "csg": builtin.csg_demo,
+        "cornell": builtin.cornell,
+        "glass": builtin.glass_demo,
+        "volume": builtin.volume_demo,
+    }
+    if args.scene in builtins_:
+        return builtins_[args.scene]()
+    raise SystemExit(f"scene not found: {args.scene!r} "
+                     f"(builtins: {', '.join(builtins_)})")
+
+
+def _camera(args):
+    from raymarchrenderer_tpu.core.camera import Camera
+    cam = Camera(aspect=args.width / args.height)
+    if args.eye:
+        cam.eye = tuple(args.eye)
+    if args.look_at:
+        cam.look_at(tuple(args.look_at))
+    if args.fov:
+        cam.fov = args.fov
+    return cam
+
+
+def _config(args):
+    from raymarchrenderer_tpu.render.config import RenderConfig
+    return RenderConfig(
+        width=args.width, height=args.height, spp=args.spp,
+        max_steps=args.max_steps, max_bounces=args.max_bounces,
+        max_dist=args.max_dist, seed=args.seed)
+
+
+def _add_render_flags(p):
+    p.add_argument("--scene", default="sphere_on_floor",
+                   help="scene file path or builtin name")
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--spp", type=int, default=128)
+    p.add_argument("--max-steps", type=int, default=512)
+    p.add_argument("--max-bounces", type=int, default=16)
+    p.add_argument("--max-dist", type=float, default=1000.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eye", type=float, nargs=3, default=None)
+    p.add_argument("--look-at", type=float, nargs=3, default=None)
+    p.add_argument("--fov", type=float, default=None)
+    p.add_argument("--direct-light", action="store_true",
+                   help="next-event estimation / soft shadows")
+    p.add_argument("--impl", choices=("auto", "fused", "oracle"),
+                   default="auto",
+                   help="fused Pallas kernel or pure-JAX oracle")
+    p.add_argument("--out", default=None,
+                   help="output image (.png/.bmp/.npy); default "
+                        "output/<timestamp>.png")
+    p.add_argument("--checkpoint", default=None,
+                   help="write (accum, n, config) here after every chunk")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists")
+    p.add_argument("--chunk", type=int, default=8,
+                   help="samples per kernel launch / checkpoint interval")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend")
+
+
+def _pick_impl(args, scene):
+    import jax
+    if args.impl != "auto":
+        return args.impl
+    on_tpu = jax.devices()[0].platform == "tpu"
+    ok = (not scene.has_env_map and args.width % 128 == 0
+          and args.height % 32 == 0)
+    return "fused" if (on_tpu and ok) else "oracle"
+
+
+def cmd_render(args) -> int:
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raymarchrenderer_tpu.io import (load_checkpoint, save_checkpoint,
+                                         save_image, timestamp_name)
+    from raymarchrenderer_tpu.render.integrator import render
+
+    scene = _build_scene(args)
+    params = scene.init_params()
+    cfg = _config(args)
+    corners = _camera(args).corner_rays_flat()
+
+    accum, n0 = None, 0.0
+    if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
+        st = load_checkpoint(args.checkpoint)
+        accum, n0, cfg = jnp.asarray(st.accum), st.n, st.cfg
+        print(f"resuming at {n0:.0f} spp from {args.checkpoint}")
+
+    impl = _pick_impl(args, scene)
+    spp_left = max(0, cfg.spp - int(n0))
+    print(f"rendering {cfg.width}x{cfg.height} @ {cfg.spp} spp "
+          f"({impl}, {jax.devices()[0].platform})")
+    t0 = time.perf_counter()
+    n = n0
+
+    if impl == "fused":
+        from raymarchrenderer_tpu.kernels.march import render_progressive_fused
+        done = int(n0)
+        img = accum if accum is not None else jnp.zeros(
+            (cfg.height, cfg.width, 3), jnp.float32)
+        while done < cfg.spp:
+            k = min(args.chunk, cfg.spp - done)
+            img, n = render_progressive_fused(
+                scene, params, cfg, corners, spp=k,
+                samples_per_launch=k, direct_light=args.direct_light,
+                accum=img, n0=float(done))
+            done += k
+            if args.checkpoint:
+                save_checkpoint(args.checkpoint, np.asarray(img), n, cfg)
+            el = time.perf_counter() - t0
+            print(f"  {done}/{cfg.spp} spp  "
+                  f"({done / max(el, 1e-9):.2f} spp/s)", flush=True)
+    else:
+        def cb(s, state):
+            if args.checkpoint and (s + 1) % args.chunk == 0:
+                save_checkpoint(args.checkpoint, np.asarray(state[0]),
+                                float(state[1]), cfg)
+            if (s + 1) % args.chunk == 0:
+                el = time.perf_counter() - t0
+                print(f"  {s + 1 - int(n0)}/{spp_left} spp "
+                      f"({(s + 1 - n0) / max(el, 1e-9):.2f} spp/s)",
+                      flush=True)
+
+        img, n = render(scene, params, cfg, corners, spp=spp_left,
+                        direct_light=args.direct_light, accum=accum, n0=n0,
+                        callback=cb)
+
+    dt = time.perf_counter() - t0
+    mpix_spp = cfg.width * cfg.height * (n - n0) / 1e6
+    print(f"done: {n:.0f} spp in {dt:.1f}s "
+          f"({mpix_spp / max(dt, 1e-9):.2f} Mpix*spp/s)")
+
+    out = args.out or os.path.join("output", timestamp_name("png"))
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    save_image(out, np.asarray(img))
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, np.asarray(img), n, cfg)
+    print(f"saved {out}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    os.environ.setdefault("BENCH_SIZE", str(args.size))
+    os.environ.setdefault("BENCH_SPP", str(args.spp))
+    os.environ.setdefault("BENCH_IMPL", args.impl)
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    sys.path.insert(0, root)
+    import bench
+    bench.main()
+    return 0
+
+
+def cmd_info(args) -> int:
+    scene = _build_scene(args)
+    import jax
+    params = scene.init_params()
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(json.dumps({
+        "materials": len(scene.materials),
+        "objects": len(scene.objects),
+        "lights": scene.n_lights,
+        "env_map": scene.has_env_map,
+        "differentiable_params": int(n_params),
+    }, indent=2))
+    return 0
+
+
+def cmd_repl(args) -> int:
+    """The reference REPL verbs (`CLI.cpp:95-219`), line-oriented."""
+    state = {"scene": "sphere_on_floor", "spp": 16, "width": 256,
+             "height": 256, "grid_w": 4, "grid_h": 4, "img": None}
+    print("raymarch repl — verbs: load_scene <path>, samples <n>, "
+          "image_width <n>, image_height <n>, grid_width <n>, "
+          "grid_height <n>, render, save [path], quit")
+    for line in sys.stdin:
+        parts = line.split()
+        if not parts:
+            continue
+        verb, rest = parts[0], parts[1:]
+        try:
+            if verb == "quit":
+                break
+            elif verb == "load_scene":
+                state["scene"] = rest[0]
+                print(f"scene = {rest[0]}")
+            elif verb == "samples":
+                state["spp"] = int(rest[0])
+            elif verb in ("image_width", "image_height", "grid_width",
+                          "grid_height"):
+                key = {"image_width": "width", "image_height": "height",
+                       "grid_width": "grid_w", "grid_height": "grid_h"}[verb]
+                state[key] = int(rest[0])
+            elif verb == "render":
+                ns = argparse.Namespace(
+                    scene=state["scene"], width=state["width"],
+                    height=state["height"], spp=state["spp"],
+                    max_steps=512, max_bounces=16, max_dist=1000.0, seed=0,
+                    eye=None, look_at=None, fov=None, direct_light=False,
+                    impl="auto", out="/tmp/_repl_render.png",
+                    checkpoint=None, resume=False, chunk=8, cpu=False)
+                cmd_render(ns)
+                state["img"] = "/tmp/_repl_render.png"
+            elif verb == "save":
+                if state["img"] is None:
+                    print("nothing rendered yet")
+                else:
+                    import shutil
+                    from raymarchrenderer_tpu.io import timestamp_name
+                    dst = rest[0] if rest else os.path.join(
+                        "output", timestamp_name("png"))
+                    os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+                    shutil.copy(state["img"], dst)
+                    print(f"saved {dst}")
+            else:
+                print(f"unknown verb: {verb}")
+        except (IndexError, ValueError) as e:
+            print(f"bad arguments for {verb}: {e}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="raymarchrenderer_tpu",
+        description="TPU-native differentiable sphere-tracing path tracer")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render a scene to an image")
+    _add_render_flags(pr)
+    pr.set_defaults(fn=cmd_render)
+
+    pb = sub.add_parser("bench", help="run the headline benchmark")
+    pb.add_argument("--size", type=int, default=1024)
+    pb.add_argument("--spp", type=int, default=8)
+    pb.add_argument("--impl", choices=("auto", "fused", "oracle"),
+                    default="auto")
+    pb.set_defaults(fn=cmd_bench)
+
+    pi = sub.add_parser("info", help="describe a scene")
+    pi.add_argument("--scene", default="sphere_on_floor")
+    pi.set_defaults(fn=cmd_info)
+
+    pp = sub.add_parser("repl", help="reference-CLI-compatible REPL")
+    pp.set_defaults(fn=cmd_repl)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -57,8 +57,12 @@ def hash_u32(a, b, c, d):
 
 
 def bits_to_uniform(bits):
-    """uint32 -> float32 uniform in [0, 1) using the top 24 bits."""
-    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    """uint32 -> float32 uniform in [0, 1) using the top 24 bits.
+
+    The intermediate int32 cast is exact (24-bit values) and required on
+    TPU: Mosaic has no uint32->float32 conversion."""
+    return ((bits >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(1.0 / (1 << 24)))
 
 
 class PixelRNG:

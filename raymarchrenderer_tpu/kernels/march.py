@@ -1,0 +1,212 @@
+"""Fused Pallas TPU kernel: raygen + march + shade + accumulate in one pass.
+
+The TPU-native replacement for the reference's GLSL compute dispatch
+(`Graphics::Render` → `glDispatchCompute` → `RayMarch3.glsl:524-555`):
+one `pallas_call` renders the whole frame, gridded over (BH, BW) pixel
+tiles (VPU-aligned: BW = 128 lanes).  Inside each program:
+
+  * pixel coords from `program_id` + `broadcasted_iota` (the
+    `gl_GlobalInvocationID` analogue),
+  * the SAME pure-jnp scene composition, integrator and counter-based RNG
+    as the oracle (`render.integrator.trace_rgb`) traced over the tile —
+    one source of truth, bitwise-matching random streams,
+  * per-tile early-out: each program runs its own masked march
+    `while_loop`, so a tile whose rays all converge stops marching — the
+    block-level divergence win of the reference's 16×16 workgroups
+    (`RayMarch3.glsl:14`), impossible for a whole-image XLA while_loop
+    which steps until the LAST pixel of the frame converges,
+  * an in-kernel spp loop (`n_samples`): samples accumulate in registers /
+    VMEM and HBM sees ONE write per tile per launch instead of one per
+    sample — the progressive loop's HBM traffic drops by n_samples×.
+
+Scene parameters arrive as flattened pytree leaves (reshaped 2-D for TPU
+ref layout) and are rebuilt inside the kernel, so ANY data-driven scene
+graph compiles into the kernel with zero string codegen — the trace-time
+equivalent of the reference's `//#…INSERT` GLSL splicing
+(`Graphics.cpp:64-113`).
+
+Env-map scenes fall back to the oracle path (arbitrary 2-D gathers are
+not VPU-friendly; the constant-power sky covers the reference's shipped
+scenes — its HDR texture is absent from the repo, `Graphics.cpp:287`).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raymarchrenderer_tpu.core.rng import RNGStream
+from raymarchrenderer_tpu.core.vecmath import Vec3
+from raymarchrenderer_tpu.render.config import RenderConfig
+from raymarchrenderer_tpu.render.integrator import trace_rgb
+from raymarchrenderer_tpu.render.raygen import primary_rays
+from raymarchrenderer_tpu.scene.graph import Scene
+
+# VPU-aligned tile: lanes are always 128; 32 sublanes amortizes control
+# overhead while keeping early-out granularity useful.
+DEFAULT_BH = 32
+DEFAULT_BW = 128
+
+
+def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
+                 n_samples: int, direct_light: bool, bh: int, bw: int):
+    """Build the kernel body (closed over the static scene/config)."""
+
+    def kernel(corners_ref, scalar_ref, *refs):
+        n_shipped = sum(1 for _, size in leaf_shapes if size)
+        param_refs = refs[:n_shipped]
+        out_r, out_g, out_b = refs[n_shipped:]
+
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        oy = scalar_ref[0, 1].astype(jnp.int32)
+        ox = scalar_ref[0, 2].astype(jnp.int32)
+        py = (oy + i * bh
+              + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0))
+        px = (ox + j * bw
+              + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1))
+
+        leaves = []
+        ri = 0
+        for shp, size in leaf_shapes:
+            if size == 0:  # empty leaf (e.g. zero lights): not shipped
+                leaves.append(jnp.zeros(shp, jnp.float32))
+            else:
+                leaves.append(param_refs[ri][:].reshape(shp))
+                ri += 1
+        params = jax.tree.unflatten(treedef, leaves)
+        corners = tuple(corners_ref[k, :] for k in range(5))
+        e = corners[0]
+        eye = Vec3(jnp.full((bh, bw), e[0], jnp.float32),
+                   jnp.full((bh, bw), e[1], jnp.float32),
+                   jnp.full((bh, bw), e[2], jnp.float32))
+        channels = Vec3.full((bh, bw), 1.0, 1.0, 1.0)
+        s0 = scalar_ref[0, 0].astype(jnp.uint32)
+
+        def body(k, acc):
+            s = s0 + jnp.asarray(k).astype(jnp.uint32)
+            rng = RNGStream(cfg.seed, px, py, s, jnp.uint32(1 << 20))
+            d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
+            c = trace_rgb(scene, params, cfg, eye, d, px, py, s, channels,
+                          direct_light)
+            ar, ag, ab = acc
+            return (ar + c.x, ag + c.y, ab + c.z)
+
+        # peel sample 0: splat-constant (replicated-layout) initial carries
+        # don't relayout in Mosaic — same reason trace_rgb peels bounce 0
+        zero = jnp.zeros((bh, bw), jnp.float32)
+        acc0 = body(0, (zero, zero, zero))
+        ar, ag, ab = jax.lax.fori_loop(1, n_samples, body, acc0)
+        inv = 1.0 / float(n_samples)
+        out_r[:] = ar * inv
+        out_g[:] = ag * inv
+        out_b[:] = ab * inv
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scene", "cfg", "patch_shape", "n_samples",
+                     "direct_light", "block", "interpret"))
+def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
+                       origin_xy, patch_shape, sample0,
+                       n_samples: int = 1, direct_light: bool = False,
+                       block=(DEFAULT_BH, DEFAULT_BW),
+                       interpret: bool = False):
+    """Mean of `n_samples` samples of a (ph, pw) pixel patch at dynamic
+    origin `origin_xy` — the fused-kernel twin of
+    `render.integrator.render_patch` (unit of tile sharding).  Returns
+    (ph, pw, 3) float32 linear.
+
+    `interpret=True` runs the Pallas interpreter (CPU test path — the
+    "fake backend" of SURVEY.md §4 item 2)."""
+    if scene.has_env_map:
+        raise NotImplementedError(
+            "env-map sky uses the oracle integrator (gather-heavy)")
+    bh, bw = block
+    ph, pw = patch_shape
+    if ph % bh or pw % bw:
+        raise ValueError(
+            f"patch {pw}x{ph} must tile by block {bw}x{bh}; pad the frame "
+            f"or pick block sizes that divide it")
+
+    leaves, treedef = jax.tree.flatten(params)
+    leaves = [jnp.asarray(l, jnp.float32) for l in leaves]
+    leaf_shapes = tuple((jnp.shape(l), int(l.size)) for l in leaves)
+    # TPU refs want >=2D: ship each non-empty leaf as (1, size)
+    leaves2d = [l.reshape(1, l.size) for l in leaves if l.size]
+    corners_arr = jnp.stack([jnp.asarray(c, jnp.float32) for c in corners])
+    scalar_arr = jnp.stack([
+        jnp.asarray(sample0, jnp.uint32).astype(jnp.int32),
+        jnp.asarray(origin_xy[1], jnp.int32),
+        jnp.asarray(origin_xy[0], jnp.int32)]).reshape(1, 3)
+
+    kernel = _tile_kernel(scene, cfg, treedef, leaf_shapes, n_samples,
+                          direct_light, bh, bw)
+    grid = (ph // bh, pw // bw)
+    small_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    plane = jax.ShapeDtypeStruct((ph, pw), jnp.float32)
+
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[small_vmem,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+                 + [small_vmem] * len(leaves2d),
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(plane, plane, plane),
+        interpret=interpret,
+    )(corners_arr, scalar_arr, *leaves2d)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def render_fused(scene: Scene, params, cfg: RenderConfig, corners,
+                 sample0, n_samples: int = 1, direct_light: bool = False,
+                 block=(DEFAULT_BH, DEFAULT_BW), interpret: bool = False):
+    """Full-frame fused render (patch at origin (0,0))."""
+    return render_fused_patch(
+        scene, params, cfg, corners, (0, 0), (cfg.height, cfg.width),
+        sample0, n_samples=n_samples, direct_light=direct_light,
+        block=block, interpret=interpret)
+
+
+def render_sample_fused(scene: Scene, params, cfg: RenderConfig, corners,
+                        sample, direct_light: bool = False,
+                        interpret: bool = False):
+    """One full-frame sample — drop-in for `render.integrator.render_sample`
+    (returns the stacked (H, W, 3) array)."""
+    return render_fused(scene, params, cfg, corners, sample, n_samples=1,
+                        direct_light=direct_light, interpret=interpret)
+
+
+def render_progressive_fused(scene: Scene, params, cfg: RenderConfig,
+                             corners, spp: int = None,
+                             samples_per_launch: int = 8,
+                             direct_light: bool = False,
+                             accum=None, n0: float = 0.0,
+                             interpret: bool = False):
+    """Progressive render driven by the fused kernel: `spp` total samples in
+    chunks of `samples_per_launch` (each chunk is ONE kernel launch whose
+    samples accumulate on-chip).  Resumable like `render.integrator.render`.
+    Returns (image (H, W, 3), n_samples)."""
+    spp = cfg.spp if spp is None else spp
+    if accum is None:
+        accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    n = float(n0)
+    s = int(n0)
+    while s < int(n0) + spp:
+        k = min(samples_per_launch, int(n0) + spp - s)
+        chunk = render_fused(scene, params, cfg, corners, jnp.uint32(s),
+                             n_samples=k, direct_light=direct_light,
+                             interpret=interpret)
+        # running mean: new_mean = (accum*n + chunk*k) / (n+k)
+        accum = (accum * n + chunk * k) / (n + k)
+        n += k
+        s += k
+    return accum, n

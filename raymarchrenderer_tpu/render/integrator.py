@@ -51,31 +51,36 @@ def march(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
     shape = jnp.shape(o.x)
     t0 = jnp.zeros(shape, jnp.float32)
     mid0 = jnp.full(shape, -1, jnp.int32)
-    hit0 = jnp.zeros(shape, bool)
-    done0 = ~active
+    # loop-carried masks are int32, not bool: Mosaic (Pallas TPU) cannot
+    # legalize i1 vector carries through scf.while/scf.for, and this march
+    # runs verbatim inside the fused kernel (kernels/march.py)
+    hit0 = jnp.zeros(shape, jnp.int32)
+    done0 = 1 - active.astype(jnp.int32)
 
     def cond(s):
         _, _, _, done, step = s
-        return (step < cfg.max_steps) & jnp.any(~done)
+        return (step < cfg.max_steps) & (jnp.min(done) < 1)
 
     def body(s):
         t, mid, hitm, done, step = s
         p = o + d * t
         dist, m = scene.map(params, p, cfg.max_dist)
         dist = dist * dist_mult
-        is_hit = (dist < cfg.hit_eps) & ~done
-        is_miss = (t >= cfg.max_dist) & ~done & ~is_hit
+        live = done < 1
+        is_hit = (dist < cfg.hit_eps) & live
+        is_miss = (t >= cfg.max_dist) & live & ~is_hit
         mid = jnp.where(is_hit, m, mid)
-        hitm = hitm | is_hit
-        done = done | is_hit | is_miss
-        t = jnp.where(done, t, t + dist * cfg.step_multiply)
+        hitm = hitm | is_hit.astype(jnp.int32)
+        done = done | is_hit.astype(jnp.int32) | is_miss.astype(jnp.int32)
+        t = jnp.where(done > 0, t, t + dist * cfg.step_multiply)
         return t, mid, hitm, done, step + 1
 
     t, mid, hitm, _, _ = lax.while_loop(
         cond, body, (t0, mid0, hit0, done0, jnp.int32(0)))
-    t = jnp.where(hitm, t, cfg.max_dist)
-    mid = jnp.where(hitm, mid, -1)
-    return t, mid, hitm
+    hit_b = hitm > 0
+    t = jnp.where(hit_b, t, cfg.max_dist)
+    mid = jnp.where(hit_b, mid, -1)
+    return t, mid, hit_b
 
 
 def get_normal(scene: Scene, params, cfg: RenderConfig, p: Vec3) -> Vec3:
@@ -98,7 +103,7 @@ class _TraceState(NamedTuple):
     color: Vec3       # multiplicative throughput (starts at `channels`)
     extra: Vec3       # additive radiance from next-event estimation
     inside: jax.Array  # float 0/1
-    active: jax.Array  # bool
+    active: jax.Array  # int32 0/1 (i1 carries don't legalize in Mosaic)
 
 
 def _direct_light(scene: Scene, params, cfg: RenderConfig, hitp: Vec3,
@@ -159,15 +164,16 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
 
     def body(b, st: _TraceState):
         dist_mult = 1.0 - 2.0 * st.inside
-        t, mid, hitm = march_fn(st.o, st.d, dist_mult, st.active)
+        active_b = st.active > 0
+        t, mid, hitm = march_fn(st.o, st.d, dist_mult, active_b)
         hitp = st.o + st.d * t
         normal = get_normal(scene, params, cfg, hitp)
         rng = RNGStream(cfg.seed, px, py, sample, b)
         ctx = ShadeCtx(st.o, st.d, t, hitp, st.inside, normal, channels, rng)
         s = scene.shade(params, ctx, mid)
 
-        hit_active = st.active & hitm
-        miss_active = st.active & ~hitm
+        hit_active = active_b & hitm
+        miss_active = active_b & ~hitm
         sky = scene.sky(params, st.d)
         mult = vselect(hit_active, s.color,
                        vselect(miss_active, sky,
@@ -191,12 +197,19 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
         o_next = vselect(override, s.hit, hitp + normal * off)
         o = vselect(active, o_next, st.o)
         d = vselect(active, s.dir, st.d)
-        return _TraceState(o, d, color, extra, inside, active)
+        return _TraceState(o, d, color, extra, inside,
+                           active.astype(jnp.int32))
 
     init = _TraceState(
         o=eye, d=d0, color=channels, extra=Vec3.zeros(shape),
-        inside=jnp.zeros(shape, jnp.float32), active=jnp.ones(shape, bool))
-    out = lax.fori_loop(0, cfg.max_bounces, body, init)
+        inside=jnp.zeros(shape, jnp.float32),
+        active=jnp.ones(shape, jnp.int32))
+    # Peel bounce 0 out of the loop: Mosaic cannot relayout the replicated
+    # (splat-constant) initial carries into the concrete layouts the body
+    # yields, so the fori_loop must start from an already-computed state.
+    # Semantically identical (bounce 0 always runs — every ray starts active).
+    st0 = body(0, init)
+    out = lax.fori_loop(1, cfg.max_bounces, body, st0)
     # paths still active after max_bounces return their bare albedo product,
     # exactly like the reference's loop falling off the end (RayMarch.glsl:493)
     return out.color + out.extra

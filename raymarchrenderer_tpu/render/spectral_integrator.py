@@ -76,7 +76,8 @@ def trace_spectral(scene: Scene, params, mats: SpectralMaterials,
     sky_min, sky_max, sky_p = 390.0, 830.0, jnp.float32(cfg.sky_power)
 
     def body(b, st):
-        o, d, wl, power, active = st
+        o, d, wl, power, active_i = st
+        active = active_i > 0  # i32 carry: i1 vectors don't legalize in Mosaic
         ones = jnp.ones(shape, jnp.float32)
         t, mid, hitm = march(scene, params, cfg, o, d, ones, active)
         hitp = o + d * t
@@ -111,11 +112,13 @@ def trace_spectral(scene: Scene, params, mats: SpectralMaterials,
         o2 = hitp + normal * cfg.surface_offset  # 0.002, RayMarch3.glsl:405
         o = vselect(new_active, o2, o)
         d = vselect(new_active, new_dir, d)
-        return o, d, new_wl, new_power, new_active
+        return o, d, new_wl, new_power, new_active.astype(jnp.int32)
 
     init = (eye, d0, jnp.zeros(shape, jnp.float32),
-            jnp.ones(shape, jnp.float32), jnp.ones(shape, bool))
-    _, _, wl, power, still = lax.fori_loop(0, cfg.max_bounces, body, init)
+            jnp.ones(shape, jnp.float32), jnp.ones(shape, jnp.int32))
+    # peel bounce 0 (Mosaic replicated-carry relayout — see trace_rgb)
+    st0 = body(0, init)
+    _, _, wl, power, still = lax.fori_loop(1, cfg.max_bounces, body, st0)
     # paths that exhaust maxBounces keep their (possibly unset) wavelength —
     # wl==0 maps to black, exactly like the GLSL uint 0 → wavelengthToColor(0)
     return wl, power

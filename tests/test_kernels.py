@@ -1,0 +1,89 @@
+"""Pallas fused-kernel parity vs the pure-JAX oracle (SURVEY.md §4 item 2).
+
+Runs the kernel in interpreter mode on CPU (the "fake backend").  Single
+samples are bitwise-identical (same RNG, same op order); multi-sample and
+NEE paths accumulate in a different order, so a few rays near the hit_eps
+threshold may flip — parity is therefore: tiny max diff on ≥99.9% of
+pixels.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raymarchrenderer_tpu.core.camera import Camera
+from raymarchrenderer_tpu.kernels.march import (
+    render_fused, render_progressive_fused,
+)
+from raymarchrenderer_tpu.render.config import RenderConfig
+from raymarchrenderer_tpu.render.integrator import render, render_sample
+from raymarchrenderer_tpu.scene import builtin
+
+CFG = RenderConfig(width=128, height=32, spp=1, max_steps=96,
+                   max_bounces=3, max_dist=100.0)
+BLOCK = (8, 128)
+
+
+def _corners(aspect=4.0):
+    return Camera(aspect=aspect).corner_rays_flat()
+
+
+def _frac_off(a, b, tol=1e-3):
+    return float((np.abs(np.asarray(a) - np.asarray(b)) > tol).mean())
+
+
+class TestFusedParity:
+    def test_single_sample_bitwise(self):
+        scene = builtin.sphere_on_floor()
+        params = scene.init_params()
+        oracle = render_sample(scene, params, CFG, _corners(),
+                               jnp.uint32(5)).stack(-1)
+        fused = render_fused(scene, params, CFG, _corners(), jnp.uint32(5),
+                             n_samples=1, block=BLOCK, interpret=True)
+        np.testing.assert_array_equal(np.asarray(oracle), np.asarray(fused))
+
+    def test_multi_sample_mean(self):
+        scene = builtin.sphere_on_floor()
+        params = scene.init_params()
+        o = [render_sample(scene, params, CFG, _corners(),
+                           jnp.uint32(s)).stack(-1) for s in (3, 4, 5, 6)]
+        mean = sum(np.asarray(x) for x in o) / 4.0
+        fused = render_fused(scene, params, CFG, _corners(), jnp.uint32(3),
+                             n_samples=4, block=BLOCK, interpret=True)
+        assert _frac_off(mean, fused) < 1e-3
+
+    def test_nee_direct_light(self):
+        scene = builtin.csg_demo()
+        params = scene.init_params()
+        oracle = render_sample(scene, params, CFG, _corners(), jnp.uint32(1),
+                               direct_light=True).stack(-1)
+        fused = render_fused(scene, params, CFG, _corners(), jnp.uint32(1),
+                             n_samples=1, direct_light=True, block=BLOCK,
+                             interpret=True)
+        assert _frac_off(oracle, fused) < 1e-3
+
+    def test_data_driven_scene_from_file(self):
+        from raymarchrenderer_tpu.scene import load_scene
+        scene = load_scene("data/scenes/default.scene")
+        params = scene.init_params()
+        oracle = render_sample(scene, params, CFG, _corners(),
+                               jnp.uint32(0)).stack(-1)
+        fused = render_fused(scene, params, CFG, _corners(), jnp.uint32(0),
+                             n_samples=1, block=BLOCK, interpret=True)
+        np.testing.assert_array_equal(np.asarray(oracle), np.asarray(fused))
+
+    def test_progressive_matches_oracle_render(self):
+        scene = builtin.sphere_on_floor()
+        params = scene.init_params()
+        img_o, n_o = render(scene, params, CFG, _corners(), spp=4)
+        img_f, n_f = render_progressive_fused(
+            scene, params, CFG, _corners(), spp=4, samples_per_launch=2,
+            interpret=True)
+        assert n_o == n_f == 4.0
+        assert _frac_off(img_o, img_f) < 1e-3
+
+    def test_misaligned_frame_raises(self):
+        scene = builtin.sphere_on_floor()
+        params = scene.init_params()
+        with pytest.raises(ValueError):
+            render_fused(scene, params, CFG.replace(width=100), _corners(),
+                         jnp.uint32(0), block=BLOCK, interpret=True)
