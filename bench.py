@@ -42,10 +42,12 @@ def main():
     use_pallas = impl == "pallas" or (impl == "auto" and on_tpu)
     if use_pallas:
         try:
-            from raymarchrenderer_tpu.kernels.march import render_sample_fused
-            step = jax.jit(lambda p, c, s: render_sample_fused(
-                scene, p, cfg, c, s))
-            impl = "pallas"
+            from raymarchrenderer_tpu.kernels.march import render_fused
+            # one launch, in-kernel spp loop (megakernel mode): samples
+            # accumulate in VMEM, HBM sees one write per tile
+            step = jax.jit(lambda p, c, s: render_fused(
+                scene, p, cfg, c, s, n_samples=spp))
+            impl = "pallas-mega"
         except Exception:
             use_pallas = False
     if not use_pallas:
@@ -58,12 +60,22 @@ def main():
     out = step(params, corners, jnp.uint32(0))
     jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    acc = jnp.zeros_like(out)
-    for s in range(1, spp + 1):
-        acc = acc + step(params, corners, jnp.uint32(s))
-    jax.block_until_ready(acc)
-    dt = time.perf_counter() - t0
+    if impl == "oracle":
+        t0 = time.perf_counter()
+        acc = jnp.zeros_like(out)
+        for s in range(1, spp + 1):
+            acc = acc + step(params, corners, jnp.uint32(s))
+        jax.block_until_ready(acc)
+        dt = time.perf_counter() - t0
+        if spp > 1:
+            dt = dt / spp * spp  # spp launches of 1 sample each
+    else:
+        times = []
+        for s in (1, 2):
+            t0 = time.perf_counter()
+            jax.block_until_ready(step(params, corners, jnp.uint32(s * spp)))
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
 
     mpix_spp_s = size * size * spp / dt / 1e6
     # rays actually traced: primary + bounced; conservative lower bound is

@@ -42,17 +42,24 @@ from raymarchrenderer_tpu.core.rng import RNGStream
 from raymarchrenderer_tpu.core.vecmath import Vec3
 from raymarchrenderer_tpu.render.config import RenderConfig
 from raymarchrenderer_tpu.render.integrator import trace_rgb
+from raymarchrenderer_tpu.render.mega import trace_mega
 from raymarchrenderer_tpu.render.raygen import primary_rays
 from raymarchrenderer_tpu.scene.graph import Scene
 
-# VPU-aligned tile: lanes are always 128; 32 sublanes amortizes control
-# overhead while keeping early-out granularity useful.
+# VPU-aligned tile: lanes are always 128.  (32, 256) = 8192 lanes is the
+# measured sweet spot on TPU v5-class chips: large enough to amortize Mosaic
+# control overhead, small enough that VMEM holds the megakernel carries and
+# straggler lanes don't dominate.  Swept in-round; see bench.py.
 DEFAULT_BH = 32
-DEFAULT_BW = 128
+DEFAULT_BW = 256
+# Shade-pass batching gate (see render.mega.trace_mega): measured optimum.
+DEFAULT_SHADE_GATE = 32.0
 
 
 def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
-                 n_samples: int, direct_light: bool, bh: int, bw: int):
+                 n_samples: int, direct_light: bool, bh: int, bw: int,
+                 mode: str = "wavefront",
+                 shade_gate: float = DEFAULT_SHADE_GATE):
     """Build the kernel body (closed over the static scene/config)."""
 
     def kernel(corners_ref, scalar_ref, *refs):
@@ -90,8 +97,12 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
             s = s0 + jnp.asarray(k).astype(jnp.uint32)
             rng = RNGStream(cfg.seed, px, py, s, jnp.uint32(1 << 20))
             d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
-            c = trace_rgb(scene, params, cfg, eye, d, px, py, s, channels,
-                          direct_light)
+            if mode == "mega":
+                c = trace_mega(scene, params, cfg, eye, d, px, py, s,
+                               channels, shade_gate=shade_gate)
+            else:
+                c = trace_rgb(scene, params, cfg, eye, d, px, py, s,
+                              channels, direct_light)
             ar, ag, ab = acc
             return (ar + c.x, ag + c.y, ab + c.z)
 
@@ -111,12 +122,14 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
 @functools.partial(
     jax.jit,
     static_argnames=("scene", "cfg", "patch_shape", "n_samples",
-                     "direct_light", "block", "interpret"))
+                     "direct_light", "block", "interpret", "mode",
+                     "shade_gate"))
 def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
                        origin_xy, patch_shape, sample0,
                        n_samples: int = 1, direct_light: bool = False,
                        block=(DEFAULT_BH, DEFAULT_BW),
-                       interpret: bool = False):
+                       interpret: bool = False, mode: str = "auto",
+                       shade_gate: float = DEFAULT_SHADE_GATE):
     """Mean of `n_samples` samples of a (ph, pw) pixel patch at dynamic
     origin `origin_xy` — the fused-kernel twin of
     `render.integrator.render_patch` (unit of tile sharding).  Returns
@@ -127,7 +140,19 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
     if scene.has_env_map:
         raise NotImplementedError(
             "env-map sky uses the oracle integrator (gather-heavy)")
+    if mode == "auto":
+        # megakernel is the fast path; NEE shadow marches are
+        # bounce-synchronous and stay on the wavefront integrator
+        mode = "wavefront" if direct_light else "mega"
+    if mode == "mega" and direct_light:
+        raise NotImplementedError(
+            "NEE/direct-light uses the wavefront mode (shadow marches are "
+            "bounce-synchronous)")
     bh, bw = block
+    # clamp the block to the patch so small frames/tests don't have to pick
+    ph_, pw_ = patch_shape
+    bh, bw = min(bh, ph_), min(bw, pw_)
+    block = (bh, bw)
     ph, pw = patch_shape
     if ph % bh or pw % bw:
         raise ValueError(
@@ -146,7 +171,7 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
         jnp.asarray(origin_xy[0], jnp.int32)]).reshape(1, 3)
 
     kernel = _tile_kernel(scene, cfg, treedef, leaf_shapes, n_samples,
-                          direct_light, bh, bw)
+                          direct_light, bh, bw, mode, shade_gate)
     grid = (ph // bh, pw // bw)
     small_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
@@ -168,12 +193,13 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
 
 def render_fused(scene: Scene, params, cfg: RenderConfig, corners,
                  sample0, n_samples: int = 1, direct_light: bool = False,
-                 block=(DEFAULT_BH, DEFAULT_BW), interpret: bool = False):
+                 block=(DEFAULT_BH, DEFAULT_BW), interpret: bool = False,
+                 mode: str = "auto", shade_gate: float = DEFAULT_SHADE_GATE):
     """Full-frame fused render (patch at origin (0,0))."""
     return render_fused_patch(
         scene, params, cfg, corners, (0, 0), (cfg.height, cfg.width),
         sample0, n_samples=n_samples, direct_light=direct_light,
-        block=block, interpret=interpret)
+        block=block, interpret=interpret, mode=mode, shade_gate=shade_gate)
 
 
 def render_sample_fused(scene: Scene, params, cfg: RenderConfig, corners,

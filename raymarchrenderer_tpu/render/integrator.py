@@ -206,10 +206,29 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
         active=jnp.ones(shape, jnp.int32))
     # Peel bounce 0 out of the loop: Mosaic cannot relayout the replicated
     # (splat-constant) initial carries into the concrete layouts the body
-    # yields, so the fori_loop must start from an already-computed state.
+    # yields, so the loop must start from an already-computed state.
     # Semantically identical (bounce 0 always runs — every ray starts active).
     st0 = body(0, init)
-    out = lax.fori_loop(1, cfg.max_bounces, body, st0)
+    if differentiable:
+        # reverse-mode needs a statically-bounded loop (while_loop has no
+        # transpose rule)
+        out = lax.fori_loop(1, cfg.max_bounces, body, st0)
+    else:
+        # Early-exit bounce loop: once every lane in the batch/tile has
+        # terminated (emitter hit, sky miss, or mix kill) the remaining
+        # bounces are skipped entirely.  Most paths die in 1-3 bounces, so
+        # inside the Pallas kernel — where the batch is one 2D tile — this
+        # skips the per-bounce normal estimate (6 map evals) and shade for
+        # the vast majority of the 16-bounce budget.
+        def wcond(carry):
+            b, st = carry
+            return (b < cfg.max_bounces) & (jnp.max(st.active) > 0)
+
+        def wbody(carry):
+            b, st = carry
+            return b + 1, body(b, st)
+
+        _, out = lax.while_loop(wcond, wbody, (jnp.int32(1), st0))
     # paths still active after max_bounces return their bare albedo product,
     # exactly like the reference's loop falling off the end (RayMarch.glsl:493)
     return out.color + out.extra

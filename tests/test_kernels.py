@@ -81,9 +81,18 @@ class TestFusedParity:
         assert n_o == n_f == 4.0
         assert _frac_off(img_o, img_f) < 1e-3
 
+    def test_small_frame_clamps_block(self):
+        # frames smaller than the block clamp the block to the frame
+        scene = builtin.sphere_on_floor()
+        params = scene.init_params()
+        out = render_fused(scene, params, CFG.replace(width=100), _corners(),
+                           jnp.uint32(0), block=BLOCK, interpret=True)
+        assert out.shape == (CFG.height, 100, 3)
+
     def test_misaligned_frame_raises(self):
+        # larger-than-block frames must still tile evenly
         scene = builtin.sphere_on_floor()
         params = scene.init_params()
         with pytest.raises(ValueError):
-            render_fused(scene, params, CFG.replace(width=100), _corners(),
+            render_fused(scene, params, CFG.replace(width=192), _corners(),
                          jnp.uint32(0), block=BLOCK, interpret=True)

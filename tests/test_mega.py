@@ -1,0 +1,62 @@
+"""Megakernel integrator parity: `render.mega.trace_mega` must be bitwise
+identical to the wavefront oracle `render.integrator.trace_rgb` — same math,
+same RNG streams, same multiply order (SURVEY.md §4 item 2: kernel vs oracle
+on the CPU fake backend)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raymarchrenderer_tpu.core.camera import Camera
+from raymarchrenderer_tpu.core.rng import RNGStream
+from raymarchrenderer_tpu.core.vecmath import Vec3
+from raymarchrenderer_tpu.render import mega
+from raymarchrenderer_tpu.render.config import RenderConfig
+from raymarchrenderer_tpu.render.integrator import render_sample
+from raymarchrenderer_tpu.render.raygen import eye_vec, pixel_grid, primary_rays
+from raymarchrenderer_tpu.scene.builtin import cornell, sphere_on_floor
+
+
+def _mega_sample(scene, params, cfg, corners, sample, shade_gate=1.0):
+    px, py = pixel_grid(cfg.width, cfg.height)
+    rng = RNGStream(cfg.seed, px, py, sample, jnp.uint32(1 << 20))
+    d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
+    shape = (cfg.height, cfg.width)
+    e = eye_vec(corners)
+    eye = Vec3(jnp.broadcast_to(e.x, shape), jnp.broadcast_to(e.y, shape),
+               jnp.broadcast_to(e.z, shape))
+    ch = Vec3.full(shape, 1.0, 1.0, 1.0)
+    return mega.trace_mega(scene, params, cfg, eye, d, px, py, sample, ch,
+                           shade_gate=shade_gate).stack(-1)
+
+
+CFG = RenderConfig(width=48, height=48, max_steps=192, max_bounces=6,
+                   max_dist=100.0)
+
+
+@pytest.mark.parametrize("sample", [0, 3])
+def test_mega_bitwise_matches_oracle(sample):
+    scene = sphere_on_floor()
+    params = scene.init_params()
+    corners = Camera(aspect=1.0).corner_rays_flat()
+    a = np.asarray(
+        render_sample(scene, params, CFG, corners,
+                      jnp.uint32(sample)).stack(-1))
+    b = np.asarray(jax.jit(
+        lambda p, s: _mega_sample(scene, p, CFG, corners, s)
+    )(params, jnp.uint32(sample)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_mega_gate_invariant():
+    """The shade gate is a pure scheduling knob — results are identical for
+    any gate value."""
+    scene = cornell()
+    params = scene.init_params()
+    corners = Camera(aspect=1.0).corner_rays_flat()
+    outs = [np.asarray(jax.jit(
+        lambda p, s, g=g: _mega_sample(scene, p, CFG, corners, s,
+                                       shade_gate=g)
+    )(params, jnp.uint32(1))) for g in (0.25, 1.0, 32.0, 1e9)]
+    for o in outs[1:]:
+        np.testing.assert_array_equal(outs[0], o)
