@@ -31,7 +31,23 @@ from raymarchrenderer_tpu.render.raygen import eye_vec, primary_rays
 def spiral_tiles(grid_w: int, grid_h: int) -> Iterator[Tuple[int, int]]:
     """Yield (x, y) tile coords in the reference's spiral order
     (`Program.cpp:113-119,196-299`).  Tiles outside the grid are skipped on
-    yield but still traversed (the reference renders them as empty bounds)."""
+    yield but still traversed (the reference renders them as empty bounds).
+
+    Uses the native C++ scheduler (`native/scheduler.cpp`) when built; the
+    pure-Python walk `spiral_tiles_py` is the fallback and emits the
+    identical order."""
+    try:
+        from raymarchrenderer_tpu.render import scheduler_native
+        if scheduler_native.available():
+            yield from scheduler_native.spiral_order(grid_w, grid_h)
+            return
+    except Exception:
+        pass
+    yield from spiral_tiles_py(grid_w, grid_h)
+
+
+def spiral_tiles_py(grid_w: int, grid_h: int) -> Iterator[Tuple[int, int]]:
+    """Pure-Python spiral walk (exact `Program.cpp:203-222` bookkeeping)."""
     x = -(-grid_w // 2) - 1   # ceil(g/2) - 1
     y = -(-grid_h // 2) - 1
     dx, dy = -1, 0

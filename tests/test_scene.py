@@ -14,6 +14,7 @@ from raymarchrenderer_tpu.scene.nodes import ShadeCtx
 
 REF_SCENES = sorted(glob.glob(
     "/root/reference/RayMarch Renderer/data/scenes/*.scene"))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _vec(shape, x, y, z):
@@ -160,3 +161,42 @@ class TestSky:
         down = s.sky(p, _vec((1,), 0, -1, 0))
         assert float(up.x[0]) == 1.0 and float(up.y[0]) == 0.0
         assert float(down.x[0]) == 0.0
+
+
+class TestShippedScenes:
+    def test_shipped_scenes_match_reference_set(self):
+        """Our data/scenes ships a native-format port of every reference
+        scene (SURVEY.md §2 #13)."""
+        import glob
+        import os
+        ours = {os.path.basename(p) for p in
+                glob.glob(os.path.join(REPO, "data/scenes/*.scene"))}
+        refs = {os.path.basename(p) for p in REF_SCENES}
+        assert refs <= ours or not refs, refs - ours
+
+    def test_material_test_port_semantics(self):
+        """The ported material_test.scene renders identically to loading the
+        reference file directly (named vs integer registers are formatting,
+        not semantics)."""
+        import os
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from raymarchrenderer_tpu.core.camera import Camera
+        from raymarchrenderer_tpu.render.config import RenderConfig
+        from raymarchrenderer_tpu.render.integrator import render_sample
+        ref = [p for p in REF_SCENES if p.endswith("material_test.scene")]
+        if not ref:
+            import pytest
+            pytest.skip("reference scene not mounted")
+        a = load_scene(ref[0])
+        b = load_scene(os.path.join(REPO, "data/scenes/material_test.scene"))
+        cfg = RenderConfig(width=32, height=32, max_steps=64, max_bounces=3,
+                           max_dist=100.0)
+        corners = Camera(aspect=1.0).corner_rays_flat()
+        ia = np.asarray(render_sample(a, a.init_params(), cfg, corners,
+                                      jnp.uint32(0)).stack(-1))
+        ib = np.asarray(render_sample(b, b.init_params(), cfg, corners,
+                                      jnp.uint32(0)).stack(-1))
+        np.testing.assert_allclose(ia, ib, atol=1e-6)
