@@ -22,8 +22,12 @@ import time
 
 def _build_scene(args):
     from raymarchrenderer_tpu.scene import builtin, load_scene
+    env = None
+    if getattr(args, "env_map", None):
+        from raymarchrenderer_tpu.io import load_env_map
+        env = load_env_map(args.env_map)
     if args.scene and os.path.exists(args.scene):
-        return load_scene(args.scene)
+        return load_scene(args.scene, env_image=env)
     builtins_ = {
         "sphere_on_floor": builtin.sphere_on_floor,
         "single_sphere": builtin.single_sphere,
@@ -71,6 +75,9 @@ def _add_render_flags(p):
     p.add_argument("--eye", type=float, nargs=3, default=None)
     p.add_argument("--look-at", type=float, nargs=3, default=None)
     p.add_argument("--fov", type=float, default=None)
+    p.add_argument("--env-map", default=None,
+                   help="equirect environment map (.hdr/.npy/.png) — the "
+                        "reference's veranda_1k.hdr slot (Graphics.cpp:287)")
     p.add_argument("--direct-light", action="store_true",
                    help="next-event estimation / soft shadows")
     p.add_argument("--impl", choices=("auto", "fused", "oracle"),

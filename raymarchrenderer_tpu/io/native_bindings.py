@@ -13,7 +13,9 @@ import numpy as np
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "_native",
                          "libencoder.so")
+_HDR_PATH = os.path.join(os.path.dirname(__file__), "_native", "libhdr.so")
 _lib = None
+_hdr_lib = None
 
 
 def _load():
@@ -69,3 +71,45 @@ def write_png(path: str, rgb_u8: np.ndarray) -> None:
     _check(lib.rmr_write_png(
         path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         w, h), path)
+
+
+def _load_hdr():
+    global _hdr_lib
+    if _hdr_lib is None and os.path.exists(_HDR_PATH):
+        lib = ctypes.CDLL(_HDR_PATH)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.rmr_hdr_probe.argtypes = [
+            u8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64)]
+        lib.rmr_hdr_probe.restype = ctypes.c_int32
+        lib.rmr_hdr_decode.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_float)]
+        lib.rmr_hdr_decode.restype = ctypes.c_int32
+        _hdr_lib = lib
+    return _hdr_lib
+
+
+def available_hdr() -> bool:
+    return _load_hdr() is not None
+
+
+def decode_hdr(data: bytes) -> np.ndarray:
+    """Decode an in-memory Radiance .hdr file -> (H, W, 3) linear float32."""
+    lib = _load_hdr()
+    buf = np.frombuffer(data, np.uint8)
+    src = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    pos = ctypes.c_int64()
+    rc = lib.rmr_hdr_probe(src, len(data), ctypes.byref(w), ctypes.byref(h),
+                           ctypes.byref(pos))
+    if rc != 0:
+        raise ValueError(f"native HDR probe failed ({rc})")
+    out = np.empty((h.value, w.value, 3), np.float32)
+    rc = lib.rmr_hdr_decode(
+        src, len(data), w.value, h.value, pos.value,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        raise ValueError(f"native HDR decode failed ({rc})")
+    return out

@@ -56,3 +56,85 @@ class TestCheckpoint:
         np.testing.assert_array_equal(st.accum, accum)
         assert st.n == 5.0
         assert st.cfg == cfg
+
+
+class TestHDR:
+    """Radiance RGBE codec: Python decoder vs native decoder vs round-trip."""
+
+    def _make_env(self):
+        rng = np.random.default_rng(7)
+        # exercise zeros, tiny, >1 and large dynamic range values
+        img = rng.random((12, 16, 3)).astype(np.float32)
+        img[0, 0] = 0.0
+        img[1, 1] = [1e-6, 3e4, 7.5]
+        return img
+
+    def test_roundtrip_python(self):
+        import tempfile
+
+        from raymarchrenderer_tpu.io.hdr import load_hdr, loads_hdr, save_hdr
+        img = self._make_env()
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "e.hdr")
+            save_hdr(p, img)
+            back = loads_hdr(open(p, "rb").read())
+        # RGBE quantization: one shared exponent per pixel, so the error
+        # bound is ~1/256 of the pixel's MAX channel, not of each channel
+        tol = img.max(axis=-1, keepdims=True) / 250.0 + 1e-7
+        assert np.all(np.abs(back - img) <= tol)
+
+    def test_native_matches_python(self):
+        import tempfile
+
+        from raymarchrenderer_tpu.io import native_bindings
+        from raymarchrenderer_tpu.io.hdr import loads_hdr, save_hdr
+        if not native_bindings.available_hdr():
+            import pytest
+            pytest.skip("native hdr decoder not built")
+        img = self._make_env()
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "e.hdr")
+            save_hdr(p, img)
+            data = open(p, "rb").read()
+        np.testing.assert_array_equal(loads_hdr(data),
+                                      native_bindings.decode_hdr(data))
+
+    def test_rle_scanline_decode(self):
+        """Hand-built new-style RLE scanline (run + literal mix)."""
+        from raymarchrenderer_tpu.io.hdr import loads_hdr
+        w, h = 8, 1
+        header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+        res = f"-Y {h} +X {w}\n".encode()
+        # each component stream: run of 5 then literal of 3
+        comp = bytes([128 + 5, 100, 3, 10, 20, 30])
+        line = bytes([2, 2, 0, w]) + comp * 4
+        img = loads_hdr(header + res + line)
+        assert img.shape == (1, 8, 3)
+        # value 100 with exponent 100: 100 * 2^(100-136)
+        import math
+        np.testing.assert_allclose(img[0, 0], 100 * math.pow(2, -36),
+                                   rtol=1e-6)
+
+    def test_env_map_into_scene(self):
+        """load_env_map feeds Scene.sky: a constant red env map shades sky
+        rays red."""
+        import tempfile
+
+        import jax.numpy as jnp
+
+        from raymarchrenderer_tpu.core.vecmath import Vec3
+        from raymarchrenderer_tpu.io.hdr import load_env_map, save_hdr
+        from raymarchrenderer_tpu.scene import loads_scene
+        img = np.zeros((4, 8, 3), np.float32)
+        img[..., 0] = 2.0
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "e.hdr")
+            save_hdr(p, img)
+            env = load_env_map(p)
+        scene = loads_scene('{"materials": [], "objects": []}',
+                            env_image=env)
+        params = scene.init_params()
+        d_ = Vec3(jnp.ones((2, 2)), jnp.zeros((2, 2)), jnp.zeros((2, 2)))
+        sky = scene.sky(params, d_)
+        np.testing.assert_allclose(np.asarray(sky.x), 2.0, rtol=1e-2)
+        np.testing.assert_allclose(np.asarray(sky.y), 0.0, atol=1e-6)
