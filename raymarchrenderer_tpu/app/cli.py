@@ -262,6 +262,12 @@ def cmd_repl(args) -> int:
     return 0
 
 
+def cmd_viewer(args) -> int:
+    from raymarchrenderer_tpu.app.viewer import serve
+    serve(port=args.port, host=args.host)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="raymarchrenderer_tpu",
@@ -285,6 +291,12 @@ def main(argv=None) -> int:
 
     pp = sub.add_parser("repl", help="reference-CLI-compatible REPL")
     pp.set_defaults(fn=cmd_repl)
+
+    pv = sub.add_parser("viewer",
+                        help="interactive browser viewer (the GUI frontend)")
+    pv.add_argument("--port", type=int, default=8000)
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.set_defaults(fn=cmd_viewer)
 
     args = p.parse_args(argv)
     return args.fn(args)

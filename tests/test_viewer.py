@@ -1,0 +1,77 @@
+"""Viewer frontend tests: the HTTP control surface drives a real progressive
+render (GUI parity, SURVEY.md §2 #5) — start, poll, fetch image, stop."""
+import json
+import threading
+import time
+import urllib.request
+
+import pytest
+
+from raymarchrenderer_tpu.app.viewer import ViewerState, make_server
+
+
+@pytest.fixture()
+def server():
+    srv = make_server(port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, srv.viewer_state
+    srv.viewer_state.stop()
+    srv.shutdown()
+    srv.server_close()
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=30) as r:
+        return r.read()
+
+
+def _post(base, path, obj=None):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(obj or {}).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.read()
+
+
+def test_page_and_scene_listing(server):
+    base, _ = server
+    page = _get(base, "/").decode()
+    assert "Render" in page and "canvas" in page
+    scenes = json.loads(_get(base, "/api/scenes"))
+    assert "sphere_on_floor" in scenes
+    assert any(s.endswith("default.scene") for s in scenes)
+
+
+def test_render_progress_and_image(server):
+    base, state = server
+    _post(base, "/api/render", {
+        "scene": "sphere_on_floor", "spp": 3, "width": 32, "height": 32,
+        "max_steps": 48, "max_bounces": 2, "max_dist": 100.0})
+    deadline = time.time() + 120
+    st = {}
+    while time.time() < deadline:
+        st = json.loads(_get(base, "/api/state"))
+        if st["n"] >= 3 and not st["rendering"]:
+            break
+        time.sleep(0.3)
+    assert st.get("error") == ""
+    assert st["n"] == 3.0 and st["width"] == 32
+    png = _get(base, "/api/image.png")
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_stop_preserves_partial(server):
+    base, state = server
+    _post(base, "/api/render", {
+        "scene": "sphere_on_floor", "spp": 500, "width": 32, "height": 32,
+        "max_steps": 48, "max_bounces": 2, "max_dist": 100.0})
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if json.loads(_get(base, "/api/state"))["n"] >= 1:
+            break
+        time.sleep(0.2)
+    _post(base, "/api/stop")
+    st = json.loads(_get(base, "/api/state"))
+    assert not st["rendering"]
+    assert st["n"] >= 1  # the partial accumulation survives (Escape parity)
