@@ -94,6 +94,10 @@ def _add_render_flags(p):
                    help="samples per kernel launch / checkpoint interval")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
+    p.add_argument("--metrics", default=None,
+                   help="append structured JSONL metrics to this file")
+    p.add_argument("--profile", default=None,
+                   help="capture a jax.profiler trace into this logdir")
 
 
 def _pick_impl(args, scene):
@@ -133,6 +137,18 @@ def cmd_render(args) -> int:
     spp_left = max(0, cfg.spp - int(n0))
     print(f"rendering {cfg.width}x{cfg.height} @ {cfg.spp} spp "
           f"({impl}, {jax.devices()[0].platform})")
+    metrics = None
+    if args.metrics:
+        from raymarchrenderer_tpu.utils import MetricsLogger
+        metrics = MetricsLogger(args.metrics)
+        metrics.log("render_start", width=cfg.width, height=cfg.height,
+                    spp=cfg.spp, impl=impl,
+                    platform=jax.devices()[0].platform)
+    profile_cm = None
+    if args.profile:
+        from raymarchrenderer_tpu.utils import trace_to
+        profile_cm = trace_to(args.profile)
+        profile_cm.__enter__()
     t0 = time.perf_counter()
     n = n0
 
@@ -169,9 +185,15 @@ def cmd_render(args) -> int:
                         callback=cb)
 
     dt = time.perf_counter() - t0
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
     mpix_spp = cfg.width * cfg.height * (n - n0) / 1e6
     print(f"done: {n:.0f} spp in {dt:.1f}s "
           f"({mpix_spp / max(dt, 1e-9):.2f} Mpix*spp/s)")
+    if metrics is not None:
+        metrics.log("render_done", spp=float(n), wall_s=round(dt, 3),
+                    mpix_spp_per_s=round(mpix_spp / max(dt, 1e-9), 4))
+        metrics.close()
 
     out = args.out or os.path.join("output", timestamp_name("png"))
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
