@@ -46,20 +46,23 @@ from raymarchrenderer_tpu.render.mega import trace_mega
 from raymarchrenderer_tpu.render.raygen import primary_rays
 from raymarchrenderer_tpu.scene.graph import Scene
 
-# VPU-aligned tile: lanes are always 128.  (32, 256) = 8192 lanes is the
-# measured sweet spot on TPU v5-class chips: large enough to amortize Mosaic
-# control overhead, small enough that VMEM holds the megakernel carries and
-# straggler lanes don't dominate.  Swept in-round; see bench.py.
+# VPU-aligned tile: lanes are always 128.  (32, 128) = 4096 lanes is the
+# measured sweet spot on TPU v5e: large enough to amortize Mosaic control
+# overhead, small enough that VMEM holds the megakernel carries and
+# straggler lanes don't dominate.  Swept on-chip; see bench.py.
 DEFAULT_BH = 32
-DEFAULT_BW = 256
-# Shade-pass batching gate (see render.mega.trace_mega): measured optimum.
+DEFAULT_BW = 128
+# Shade-pass batching gate and march-chunk unroll (render.mega.trace_mega):
+# measured optima on v5e (32.75 Mpix*spp/s at the 1024^2/512/16 workload).
 DEFAULT_SHADE_GATE = 32.0
+DEFAULT_MARCH_UNROLL = 32
 
 
 def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
                  n_samples: int, direct_light: bool, bh: int, bw: int,
                  mode: str = "wavefront",
-                 shade_gate: float = DEFAULT_SHADE_GATE):
+                 shade_gate: float = DEFAULT_SHADE_GATE,
+                 march_unroll: int = DEFAULT_MARCH_UNROLL):
     """Build the kernel body (closed over the static scene/config)."""
 
     def kernel(corners_ref, scalar_ref, *refs):
@@ -99,7 +102,8 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
             d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
             if mode == "mega":
                 c = trace_mega(scene, params, cfg, eye, d, px, py, s,
-                               channels, shade_gate=shade_gate)
+                               channels, shade_gate=shade_gate,
+                               march_unroll=march_unroll)
             else:
                 c = trace_rgb(scene, params, cfg, eye, d, px, py, s,
                               channels, direct_light)
@@ -123,13 +127,14 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
     jax.jit,
     static_argnames=("scene", "cfg", "patch_shape", "n_samples",
                      "direct_light", "block", "interpret", "mode",
-                     "shade_gate"))
+                     "shade_gate", "march_unroll"))
 def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
                        origin_xy, patch_shape, sample0,
                        n_samples: int = 1, direct_light: bool = False,
                        block=(DEFAULT_BH, DEFAULT_BW),
                        interpret: bool = False, mode: str = "auto",
-                       shade_gate: float = DEFAULT_SHADE_GATE):
+                       shade_gate: float = DEFAULT_SHADE_GATE,
+                       march_unroll: int = DEFAULT_MARCH_UNROLL):
     """Mean of `n_samples` samples of a (ph, pw) pixel patch at dynamic
     origin `origin_xy` — the fused-kernel twin of
     `render.integrator.render_patch` (unit of tile sharding).  Returns
@@ -144,6 +149,10 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
         # megakernel is the fast path; NEE shadow marches are
         # bounce-synchronous and stay on the wavefront integrator
         mode = "wavefront" if direct_light else "mega"
+    if interpret:
+        # unroll is a pure scheduling knob (bitwise invariant); the Pallas
+        # interpreter just pays its trace blow-up, so keep tests fast
+        march_unroll = 1
     if mode == "mega" and direct_light:
         raise NotImplementedError(
             "NEE/direct-light uses the wavefront mode (shadow marches are "
@@ -171,7 +180,8 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
         jnp.asarray(origin_xy[0], jnp.int32)]).reshape(1, 3)
 
     kernel = _tile_kernel(scene, cfg, treedef, leaf_shapes, n_samples,
-                          direct_light, bh, bw, mode, shade_gate)
+                          direct_light, bh, bw, mode, shade_gate,
+                          march_unroll)
     grid = (ph // bh, pw // bw)
     small_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
@@ -194,12 +204,14 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
 def render_fused(scene: Scene, params, cfg: RenderConfig, corners,
                  sample0, n_samples: int = 1, direct_light: bool = False,
                  block=(DEFAULT_BH, DEFAULT_BW), interpret: bool = False,
-                 mode: str = "auto", shade_gate: float = DEFAULT_SHADE_GATE):
+                 mode: str = "auto", shade_gate: float = DEFAULT_SHADE_GATE,
+                 march_unroll: int = DEFAULT_MARCH_UNROLL):
     """Full-frame fused render (patch at origin (0,0))."""
     return render_fused_patch(
         scene, params, cfg, corners, (0, 0), (cfg.height, cfg.width),
         sample0, n_samples=n_samples, direct_light=direct_light,
-        block=block, interpret=interpret, mode=mode, shade_gate=shade_gate)
+        block=block, interpret=interpret, mode=mode, shade_gate=shade_gate,
+        march_unroll=march_unroll)
 
 
 def render_sample_fused(scene: Scene, params, cfg: RenderConfig, corners,

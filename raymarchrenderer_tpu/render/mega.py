@@ -61,14 +61,19 @@ class _MegaState(NamedTuple):
 
 def trace_mega(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
                px, py, sample, channels: Vec3,
-               shade_gate: float = 1.0) -> Vec3:
+               shade_gate: float = 1.0, march_unroll: int = 1) -> Vec3:
     """Megakernel equivalent of `trace_rgb` (no NEE; forward only —
     `lax.while_loop` has no transpose, use `trace_rgb(differentiable=True)`
     for gradients).
 
     `shade_gate` tunes shade-pass batching: a pass fires when
     n_wait * shade_gate >= n_march.  Larger → more frequent, smaller
-    shade passes (less parking delay, more fixed shade overhead)."""
+    shade passes (less parking delay, more fixed shade overhead).
+
+    `march_unroll` runs K masked march steps per outer iteration: K× fewer
+    loop-carry round-trips, reductions and shade-gate branches, at the cost
+    of lanes that hit mid-chunk idling ≤K−1 steps.  Pure scheduling — the
+    result is bitwise invariant."""
     shape = jnp.shape(d0.x)
 
     def march_step(st: _MegaState) -> _MegaState:
@@ -120,7 +125,8 @@ def trace_mega(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
         return _MegaState(o, d, t, thr, inside, bounce, state, steps, st.mid)
 
     def body(st: _MegaState) -> _MegaState:
-        st = march_step(st)
+        for _ in range(march_unroll):
+            st = march_step(st)
         n_march = jnp.sum((st.state == _MARCH).astype(jnp.int32))
         n_wait = jnp.sum((st.state == _WAIT).astype(jnp.int32))
         # Batch shading: amortize the expensive pass over many parked lanes,

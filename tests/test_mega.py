@@ -17,7 +17,8 @@ from raymarchrenderer_tpu.render.raygen import eye_vec, pixel_grid, primary_rays
 from raymarchrenderer_tpu.scene.builtin import cornell, sphere_on_floor
 
 
-def _mega_sample(scene, params, cfg, corners, sample, shade_gate=1.0):
+def _mega_sample(scene, params, cfg, corners, sample, shade_gate=1.0,
+                 march_unroll=1):
     px, py = pixel_grid(cfg.width, cfg.height)
     rng = RNGStream(cfg.seed, px, py, sample, jnp.uint32(1 << 20))
     d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
@@ -27,7 +28,8 @@ def _mega_sample(scene, params, cfg, corners, sample, shade_gate=1.0):
                jnp.broadcast_to(e.z, shape))
     ch = Vec3.full(shape, 1.0, 1.0, 1.0)
     return mega.trace_mega(scene, params, cfg, eye, d, px, py, sample, ch,
-                           shade_gate=shade_gate).stack(-1)
+                           shade_gate=shade_gate,
+                           march_unroll=march_unroll).stack(-1)
 
 
 CFG = RenderConfig(width=48, height=48, max_steps=192, max_bounces=6,
@@ -58,5 +60,18 @@ def test_mega_gate_invariant():
         lambda p, s, g=g: _mega_sample(scene, p, CFG, corners, s,
                                        shade_gate=g)
     )(params, jnp.uint32(1))) for g in (0.25, 1.0, 32.0, 1e9)]
+    for o in outs[1:]:
+        np.testing.assert_array_equal(outs[0], o)
+
+
+def test_mega_unroll_invariant():
+    """march_unroll is a pure scheduling knob — bitwise invariant."""
+    scene = sphere_on_floor()
+    params = scene.init_params()
+    corners = Camera(aspect=1.0).corner_rays_flat()
+    outs = [np.asarray(jax.jit(
+        lambda p, s, u=u: _mega_sample(scene, p, CFG, corners, s,
+                                       shade_gate=32.0, march_unroll=u)
+    )(params, jnp.uint32(2))) for u in (1, 4, 32)]
     for o in outs[1:]:
         np.testing.assert_array_equal(outs[0], o)
