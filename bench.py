@@ -9,8 +9,9 @@ The reference publishes no numbers (BASELINE.md), so `vs_baseline` is the
 ratio against the self-defined round-0 target of 1.0 Mpix·spp/s/chip — a
 2015-GPU-class progressive rate at the same workload.
 
-Env knobs: BENCH_SIZE (default 1024), BENCH_SPP (default 8 timed samples),
-BENCH_IMPL=oracle|pallas (default pallas when available on TPU).
+Env knobs: BENCH_SIZE (default 1024), BENCH_SPP (default 128 — the
+reference GUI default, all samples in ONE megakernel launch with in-loop
+path regeneration), BENCH_IMPL=oracle|pallas (default pallas on TPU).
 """
 from __future__ import annotations
 
@@ -26,7 +27,7 @@ BASELINE_MPIX_SPP_S = 1.0  # self-defined target (BASELINE.md)
 
 def main():
     size = int(os.environ.get("BENCH_SIZE", "1024"))
-    spp = int(os.environ.get("BENCH_SPP", "8"))
+    spp = int(os.environ.get("BENCH_SPP", "128"))
     impl = os.environ.get("BENCH_IMPL", "auto")
 
     from raymarchrenderer_tpu.core.camera import Camera

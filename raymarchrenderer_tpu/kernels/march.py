@@ -42,7 +42,7 @@ from raymarchrenderer_tpu.core.rng import RNGStream
 from raymarchrenderer_tpu.core.vecmath import Vec3
 from raymarchrenderer_tpu.render.config import RenderConfig
 from raymarchrenderer_tpu.render.integrator import trace_rgb
-from raymarchrenderer_tpu.render.mega import trace_mega
+from raymarchrenderer_tpu.render.mega import trace_mega_paths
 from raymarchrenderer_tpu.render.raygen import primary_rays
 from raymarchrenderer_tpu.scene.graph import Scene
 
@@ -96,17 +96,25 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
         channels = Vec3.full((bh, bw), 1.0, 1.0, 1.0)
         s0 = scalar_ref[0, 0].astype(jnp.uint32)
 
+        inv = 1.0 / float(n_samples)
+        if mode == "mega":
+            # single trace with in-loop sample regeneration: straggler
+            # cost amortizes over all n_samples (render.mega)
+            c = trace_mega_paths(scene, params, cfg, corners, px, py, s0,
+                                 channels, n_samples=n_samples,
+                                 shade_gate=shade_gate,
+                                 march_unroll=march_unroll)
+            out_r[:] = c.x * inv
+            out_g[:] = c.y * inv
+            out_b[:] = c.z * inv
+            return
+
         def body(k, acc):
             s = s0 + jnp.asarray(k).astype(jnp.uint32)
             rng = RNGStream(cfg.seed, px, py, s, jnp.uint32(1 << 20))
             d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
-            if mode == "mega":
-                c = trace_mega(scene, params, cfg, eye, d, px, py, s,
-                               channels, shade_gate=shade_gate,
-                               march_unroll=march_unroll)
-            else:
-                c = trace_rgb(scene, params, cfg, eye, d, px, py, s,
-                              channels, direct_light)
+            c = trace_rgb(scene, params, cfg, eye, d, px, py, s,
+                          channels, direct_light)
             ar, ag, ab = acc
             return (ar + c.x, ag + c.y, ab + c.z)
 
@@ -115,7 +123,6 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
         zero = jnp.zeros((bh, bw), jnp.float32)
         acc0 = body(0, (zero, zero, zero))
         ar, ag, ab = jax.lax.fori_loop(1, n_samples, body, acc0)
-        inv = 1.0 / float(n_samples)
         out_r[:] = ar * inv
         out_g[:] = ag * inv
         out_b[:] = ab * inv

@@ -1,4 +1,5 @@
-"""Megakernel path tracer: one unified march+shade loop, per-lane bounces.
+"""Megakernel path tracer: one unified march+shade loop, per-lane bounces,
+in-loop sample regeneration.
 
 The wavefront integrator (`render.integrator.trace_rgb`) synchronizes the
 whole batch at every bounce boundary: bounce b's march runs until the LAST
@@ -10,18 +11,26 @@ straggler lanes of different bounces are DIFFERENT lanes.
 
 This module restates the same per-pixel pipeline (`RayMarch.glsl:483-565`)
 as a *megakernel*: every lane carries its own (ray, throughput, bounce
-index, lane state) and the single outer `while_loop` costs
-max_lanes(Σ_b steps_b) iterations — the straggler sum, not the sum of
-stragglers.  Shading (6-eval SDF normal + material graph + RNG, ~10× the
-cost of a march step) is NOT done every iteration: lanes that hit park in a
-WAIT state and a shade pass runs — under `lax.cond`, so skipped entirely
-otherwise — only when waiters outnumber marchers (or no marcher remains).
+index, sample index, lane state) and a single outer `while_loop` runs until
+every lane has finished every sample.  Three scheduling ideas stack:
 
-RNG parity: every random draw is keyed on (seed, px, py, sample, bounce,
-slot) exactly like the oracle — `bounce` is a per-lane array here and a loop
-scalar there, but the hash is elementwise, so the streams are bitwise
-identical and megakernel == oracle to float32 rounding (same multiply
-order).  Tested in `tests/test_mega.py`.
+  1. per-lane bounce progression — tile cost is the straggler of the sum,
+     not the sum of per-bounce stragglers;
+  2. batched shade passes — shading (6-eval SDF normal + material graph +
+     RNG, ~10× a march step) runs under `lax.cond` only when parked lanes
+     outnumber marchers (`shade_gate`);
+  3. path regeneration over samples — a lane whose path terminates starts
+     its NEXT sample immediately instead of idling until the tile's
+     stragglers finish, so straggler cost amortizes across all spp
+     (`n_samples`), plus `march_unroll` masked march steps per loop
+     iteration to slash loop-carry/reduction overhead.
+
+All three are pure scheduling: every random draw is keyed on (seed, px, py,
+sample, bounce, slot) exactly like the oracle — `sample`/`bounce` are
+per-lane arrays here and loop scalars there, but the hash is elementwise,
+so the streams are bitwise identical and the accumulated result equals the
+oracle's per-sample sum in the same order, to the last ulp.  Tested in
+`tests/test_mega.py`.
 
 Used by `kernels/march.py` (`mode="mega"`) inside the fused Pallas kernel;
 also runs as plain jnp (CPU oracle / XLA fallback).
@@ -38,43 +47,50 @@ from raymarchrenderer_tpu.core.rng import RNGStream
 from raymarchrenderer_tpu.core.vecmath import Vec3, vselect
 from raymarchrenderer_tpu.render.config import RenderConfig
 from raymarchrenderer_tpu.render.integrator import get_normal
+from raymarchrenderer_tpu.render.raygen import eye_vec, primary_rays
 from raymarchrenderer_tpu.scene.graph import Scene
 from raymarchrenderer_tpu.scene.nodes import ShadeCtx
 
 # Lane states.  int32 (i1 vector carries don't legalize in Mosaic).
 _MARCH = 0   # sphere-tracing the current ray segment
 _WAIT = 1    # hit found, parked until the next shade pass
-_DONE = 2    # path terminated (emitter / sky / bounce budget / mix kill)
+_REGEN = 2   # path finished, parked until the pass banks it / respawns
+_EXH = 3     # all samples done
 
 
 class _MegaState(NamedTuple):
     o: Vec3            # current segment origin
     d: Vec3            # current segment direction
     t: jax.Array       # distance along segment
-    thr: Vec3          # multiplicative throughput
+    thr: Vec3          # multiplicative throughput of the current path
+    acc: Vec3          # banked sum over finished samples
     inside: jax.Array  # float 0/1 dielectric-interior flag
     bounce: jax.Array  # int32 per-lane bounce index
-    state: jax.Array   # int32 lane state (_MARCH/_WAIT/_DONE)
+    s_idx: jax.Array   # int32 per-lane sample index
+    state: jax.Array   # int32 lane state
     steps: jax.Array   # int32 steps spent on current segment
     mid: jax.Array     # int32 material index of parked hit
 
 
-def trace_mega(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
-               px, py, sample, channels: Vec3,
-               shade_gate: float = 1.0, march_unroll: int = 1) -> Vec3:
-    """Megakernel equivalent of `trace_rgb` (no NEE; forward only —
-    `lax.while_loop` has no transpose, use `trace_rgb(differentiable=True)`
-    for gradients).
+def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
+                     px, py, sample0, channels: Vec3, n_samples: int = 1,
+                     shade_gate: float = 32.0,
+                     march_unroll: int = 1) -> Vec3:
+    """Sum of `n_samples` samples per pixel (regenerated in-loop), equal to
+    Σ_s trace_rgb(sample0+s) to float32 rounding.  Forward only —
+    `lax.while_loop` has no transpose; use `trace_rgb(differentiable=True)`
+    for gradients."""
+    shape = jnp.shape(px)
+    e = eye_vec(corners)
+    eye = Vec3(jnp.broadcast_to(e.x, shape).astype(jnp.float32),
+               jnp.broadcast_to(e.y, shape).astype(jnp.float32),
+               jnp.broadcast_to(e.z, shape).astype(jnp.float32))
+    s0 = jnp.asarray(sample0).astype(jnp.uint32)
 
-    `shade_gate` tunes shade-pass batching: a pass fires when
-    n_wait * shade_gate >= n_march.  Larger → more frequent, smaller
-    shade passes (less parking delay, more fixed shade overhead).
-
-    `march_unroll` runs K masked march steps per outer iteration: K× fewer
-    loop-carry round-trips, reductions and shade-gate branches, at the cost
-    of lanes that hit mid-chunk idling ≤K−1 steps.  Pure scheduling — the
-    result is bitwise invariant."""
-    shape = jnp.shape(d0.x)
+    def primary(s_idx):
+        s = s0 + s_idx.astype(jnp.uint32)
+        rng = RNGStream(cfg.seed, px, py, s, jnp.uint32(1 << 20))
+        return primary_rays(corners, px, py, cfg.width, cfg.height, rng)
 
     def march_step(st: _MegaState) -> _MegaState:
         marching = st.state == _MARCH
@@ -92,17 +108,17 @@ def trace_mega(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
         sky = scene.sky(params, st.d)
         thr = vselect(is_miss, st.thr * sky, st.thr)
         state = jnp.where(is_hit, _WAIT,
-                          jnp.where(is_miss, _DONE, st.state))
+                          jnp.where(is_miss, _REGEN, st.state))
         still = marching & ~is_hit & ~is_miss
         t = jnp.where(still, st.t + dist * cfg.step_multiply, st.t)
-        return st._replace(t=t, thr=thr, inside=st.inside, state=state,
-                           steps=steps, mid=mid)
+        return st._replace(t=t, thr=thr, state=state, steps=steps, mid=mid)
 
-    def shade_pass(st: _MegaState) -> _MegaState:
+    def shade(st: _MegaState) -> _MegaState:
         waiting = st.state == _WAIT
         hitp = st.o + st.d * st.t
         normal = get_normal(scene, params, cfg, hitp)
-        rng = RNGStream(cfg.seed, px, py, sample, st.bounce)
+        s_id = s0 + st.s_idx.astype(jnp.uint32)
+        rng = RNGStream(cfg.seed, px, py, s_id, st.bounce)
         ctx = ShadeCtx(st.o, st.d, st.t, hitp, st.inside, normal, channels,
                        rng)
         s = scene.shade(params, ctx, st.mid)
@@ -114,7 +130,7 @@ def trace_mega(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
         bounce = jnp.where(waiting, st.bounce + 1, st.bounce)
         done_now = term | (bounce >= cfg.max_bounces)
         state = jnp.where(waiting,
-                          jnp.where(done_now, _DONE, _MARCH), st.state)
+                          jnp.where(done_now, _REGEN, _MARCH), st.state)
         override = (s.hit.x != 0.0) | (s.hit.y != 0.0) | (s.hit.z != 0.0)
         off = jnp.where(new_inside_b, -cfg.inside_offset, cfg.exit_offset)
         o_next = vselect(override, s.hit, hitp + normal * off)
@@ -122,32 +138,67 @@ def trace_mega(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
         d = vselect(waiting, s.dir, st.d)
         t = jnp.where(waiting, 0.0, st.t)
         steps = jnp.where(waiting, 0, st.steps)
-        return _MegaState(o, d, t, thr, inside, bounce, state, steps, st.mid)
+        return st._replace(o=o, d=d, t=t, thr=thr, inside=inside,
+                           bounce=bounce, state=state, steps=steps)
+
+    def regen(st: _MegaState) -> _MegaState:
+        """Bank finished paths and respawn the lane on its next sample."""
+        pending = st.state == _REGEN
+        acc = Vec3(st.acc.x + jnp.where(pending, st.thr.x, 0.0),
+                   st.acc.y + jnp.where(pending, st.thr.y, 0.0),
+                   st.acc.z + jnp.where(pending, st.thr.z, 0.0))
+        s_idx = jnp.where(pending, st.s_idx + 1, st.s_idx)
+        exhausted = s_idx >= n_samples
+        state = jnp.where(pending,
+                          jnp.where(exhausted, _EXH, _MARCH), st.state)
+        d_new = primary(s_idx)
+        o = vselect(pending, eye, st.o)
+        d = vselect(pending, d_new, st.d)
+        thr = vselect(pending, channels, st.thr)
+        t = jnp.where(pending, 0.0, st.t)
+        steps = jnp.where(pending, 0, st.steps)
+        bounce = jnp.where(pending, 0, st.bounce)
+        inside = jnp.where(pending, 0.0, st.inside)
+        return _MegaState(o, d, t, thr, acc, inside, bounce, s_idx, state,
+                          steps, st.mid)
+
+    def parked_pass(st: _MegaState) -> _MegaState:
+        return regen(shade(st))
 
     def body(st: _MegaState) -> _MegaState:
         for _ in range(march_unroll):
             st = march_step(st)
         n_march = jnp.sum((st.state == _MARCH).astype(jnp.int32))
-        n_wait = jnp.sum((st.state == _WAIT).astype(jnp.int32))
-        # Batch shading: amortize the expensive pass over many parked lanes,
-        # but never let the tile stall with everyone parked.
-        do_shade = (n_wait > 0) & (
-            n_wait.astype(jnp.float32) * jnp.float32(shade_gate)
+        n_park = jnp.sum(((st.state == _WAIT)
+                          | (st.state == _REGEN)).astype(jnp.int32))
+        # Batch the expensive pass over many parked lanes, but never let the
+        # tile stall with everyone parked (n_march == 0 always fires).
+        do_pass = (n_park > 0) & (
+            n_park.astype(jnp.float32) * jnp.float32(shade_gate)
             >= n_march.astype(jnp.float32))
-        return lax.cond(do_shade, shade_pass, lambda s: s, st)
+        return lax.cond(do_pass, parked_pass, lambda s: s, st)
 
     def cond(st: _MegaState):
-        return jnp.min(st.state) < _DONE
+        return jnp.min(st.state) < _EXH
 
+    zero = jnp.zeros(shape, jnp.float32)
+    izero = jnp.zeros(shape, jnp.int32)
     init = _MegaState(
-        o=eye, d=d0, t=jnp.zeros(shape, jnp.float32), thr=channels,
-        inside=jnp.zeros(shape, jnp.float32),
-        bounce=jnp.zeros(shape, jnp.int32),
-        state=jnp.zeros(shape, jnp.int32),
-        steps=jnp.zeros(shape, jnp.int32),
+        o=eye, d=primary(izero), t=zero, thr=channels, acc=Vec3.zeros(shape),
+        inside=zero, bounce=izero, s_idx=izero, state=izero, steps=izero,
         mid=jnp.full(shape, -1, jnp.int32))
     # Peel one march step so the while_loop carries enter with concrete
     # (non-splat) Mosaic layouts — same reason trace_rgb peels bounce 0.
     st0 = march_step(init)
     out = lax.while_loop(cond, body, st0)
-    return out.thr
+    return out.acc
+
+
+def trace_mega(scene: Scene, params, cfg: RenderConfig, corners,
+               px, py, sample, channels: Vec3,
+               shade_gate: float = 1.0, march_unroll: int = 1) -> Vec3:
+    """Single-sample megakernel trace: bitwise equal to `trace_rgb` (the
+    primary ray is regenerated internally from the same RNG stream)."""
+    return trace_mega_paths(scene, params, cfg, corners, px, py, sample,
+                            channels, n_samples=1, shade_gate=shade_gate,
+                            march_unroll=march_unroll)

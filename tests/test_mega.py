@@ -18,18 +18,13 @@ from raymarchrenderer_tpu.scene.builtin import cornell, sphere_on_floor
 
 
 def _mega_sample(scene, params, cfg, corners, sample, shade_gate=1.0,
-                 march_unroll=1):
+                 march_unroll=1, n_samples=1):
     px, py = pixel_grid(cfg.width, cfg.height)
-    rng = RNGStream(cfg.seed, px, py, sample, jnp.uint32(1 << 20))
-    d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
-    shape = (cfg.height, cfg.width)
-    e = eye_vec(corners)
-    eye = Vec3(jnp.broadcast_to(e.x, shape), jnp.broadcast_to(e.y, shape),
-               jnp.broadcast_to(e.z, shape))
-    ch = Vec3.full(shape, 1.0, 1.0, 1.0)
-    return mega.trace_mega(scene, params, cfg, eye, d, px, py, sample, ch,
-                           shade_gate=shade_gate,
-                           march_unroll=march_unroll).stack(-1)
+    ch = Vec3.full((cfg.height, cfg.width), 1.0, 1.0, 1.0)
+    return mega.trace_mega_paths(scene, params, cfg, corners, px, py,
+                                 sample, ch, n_samples=n_samples,
+                                 shade_gate=shade_gate,
+                                 march_unroll=march_unroll).stack(-1)
 
 
 CFG = RenderConfig(width=48, height=48, max_steps=192, max_bounces=6,
@@ -75,3 +70,22 @@ def test_mega_unroll_invariant():
     )(params, jnp.uint32(2))) for u in (1, 4, 32)]
     for o in outs[1:]:
         np.testing.assert_array_equal(outs[0], o)
+
+
+def test_mega_multisample_matches_sum_of_oracle():
+    """Path regeneration: the n_samples trace equals the oracle's
+    per-sample sum in the same accumulation order (bitwise)."""
+    scene = sphere_on_floor()
+    params = scene.init_params()
+    corners = Camera(aspect=1.0).corner_rays_flat()
+    n = 3
+    multi = np.asarray(jax.jit(
+        lambda p, s: _mega_sample(scene, p, CFG, corners, s, shade_gate=32.0,
+                                  march_unroll=4, n_samples=n)
+    )(params, jnp.uint32(5)))
+    acc = np.zeros_like(multi)
+    for k in range(n):
+        acc = acc + np.asarray(
+            render_sample(scene, params, CFG, corners,
+                          jnp.uint32(5 + k)).stack(-1))
+    np.testing.assert_array_equal(multi, acc)
