@@ -64,12 +64,19 @@ def auto_shard(n_devices: Optional[int] = None) -> ShardConfig:
 
 def render_sharded(scene: Scene, params, cfg: RenderConfig, corners,
                    mesh: Mesh, spp: int, direct_light: bool = False,
-                   spectral=None):
+                   spectral=None, impl: str = "oracle",
+                   interpret: bool = False):
     """Full sharded render: returns the (H, W, 3) mean image, row-sharded
     over the 'tile' axis (use `gather_image` to materialize on host 0).
 
     Each chip renders `spp / mesh['spp']` full samples of its
     `height / mesh['tile']` pixel rows, then the spp axis psum-merges.
+
+    `impl="fused"` runs the Pallas megakernel per chip (the production
+    multi-chip path: in-kernel path regeneration over the chip's local
+    sample slice, ONE launch per chip); `"oracle"` is the pure-jnp
+    reference.  `interpret=True` runs the fused kernel on the Pallas
+    interpreter (CPU mesh tests).
     """
     n_tile = mesh.shape["tile"]
     n_spp = mesh.shape["spp"]
@@ -86,14 +93,23 @@ def render_sharded(scene: Scene, params, cfg: RenderConfig, corners,
         row0 = (ti * rows_per).astype(jnp.int32)
         origin = jnp.stack([jnp.int32(0), row0])
 
-        def body(k, acc):
-            s = (si * spp_per + k).astype(jnp.uint32)
-            color = render_patch(scene, params, cfg, corners, origin,
-                                 (rows_per, cfg.width), s, direct_light)
-            return acc + color.stack(-1)
+        if impl == "fused":
+            from raymarchrenderer_tpu.kernels.march import render_fused_patch
+            s0 = (si * spp_per).astype(jnp.uint32)
+            acc = render_fused_patch(
+                scene, params, cfg, corners, origin, (rows_per, cfg.width),
+                s0, n_samples=spp_per, direct_light=direct_light,
+                interpret=interpret) * jnp.float32(spp_per)
+        else:
+            def body(k, acc):
+                s = (si * spp_per + k).astype(jnp.uint32)
+                color = render_patch(scene, params, cfg, corners, origin,
+                                     (rows_per, cfg.width), s, direct_light)
+                return acc + color.stack(-1)
 
-        acc = lax.fori_loop(0, spp_per, body,
-                            jnp.zeros((rows_per, cfg.width, 3), jnp.float32))
+            acc = lax.fori_loop(
+                0, spp_per, body,
+                jnp.zeros((rows_per, cfg.width, 3), jnp.float32))
         acc = lax.psum(acc, "spp")
         return acc / jnp.float32(spp)
 

@@ -56,3 +56,42 @@ def test_auto_shard_covers_devices():
 def test_mesh_requires_enough_devices():
     with pytest.raises(ValueError):
         make_mesh(ShardConfig(tile=64, spp=64))
+
+
+class TestFusedSharded:
+    def test_fused_sharded_matches_oracle_sharded(self):
+        """The Pallas megakernel under shard_map equals the oracle sharded
+        render (interpret mode on the CPU mesh)."""
+        import numpy as np
+
+        from raymarchrenderer_tpu.core.camera import Camera
+        from raymarchrenderer_tpu.parallel.sharding import (
+            ShardConfig, make_mesh, render_sharded)
+        from raymarchrenderer_tpu.render.config import RenderConfig
+        from raymarchrenderer_tpu.scene import builtin
+        scene = builtin.sphere_on_floor()
+        params = scene.init_params()
+        cfg = RenderConfig(width=128, height=32, max_steps=48,
+                           max_bounces=2, max_dist=100.0)
+        corners = Camera(aspect=4.0).corner_rays_flat()
+        mesh = make_mesh(ShardConfig(tile=2, spp=2))
+        a = np.asarray(render_sharded(scene, params, cfg, corners, mesh,
+                                      spp=4, impl="oracle"))
+        b = np.asarray(render_sharded(scene, params, cfg, corners, mesh,
+                                      spp=4, impl="fused", interpret=True))
+        assert a.shape == b.shape == (32, 128, 3)
+        d = np.abs(a - b)
+        assert float((d > 1e-5).mean()) < 1e-3
+
+
+class TestMultihost:
+    def test_single_process_helpers(self):
+        import numpy as np
+
+        from raymarchrenderer_tpu.parallel import multihost
+        assert multihost.init() is False  # single process
+        assert multihost.is_primary()
+        x = np.arange(12.0).reshape(3, 4)
+        got = multihost.gather_to_host0(x)
+        np.testing.assert_array_equal(got, x)
+        multihost.sync()  # no-op
