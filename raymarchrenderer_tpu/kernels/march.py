@@ -255,3 +255,89 @@ def render_progressive_fused(scene: Scene, params, cfg: RenderConfig,
         n += k
         s += k
     return accum, n
+
+
+def render_fused_spectral(scene: Scene, params, mats, cfg: RenderConfig,
+                          corners, sample0, n_samples: int = 1,
+                          block=(DEFAULT_BH, DEFAULT_BW),
+                          interpret: bool = False):
+    """Fused gen-3 spectral render (`RayMarch3.glsl` wavelength transport)
+    as ONE Pallas launch: the whole `trace_spectral` integrator — band
+    filters via a Mosaic-safe select chain, wavelength→RGB splat — runs
+    per tile with an in-kernel spp loop.  Returns the (H, W, 3) mean.
+    Parity vs `render_sample_spectral` tested via `interpret=True`."""
+    from raymarchrenderer_tpu.core.spectral import wavelength_to_rgb
+    from raymarchrenderer_tpu.render.spectral_integrator import trace_spectral
+
+    bh, bw = block
+    ph, pw = cfg.height, cfg.width
+    bh, bw = min(bh, ph), min(bw, pw)
+    if ph % bh or pw % bw:
+        raise ValueError(f"frame {pw}x{ph} must tile by block {bw}x{bh}")
+
+    combined = {"scene": params, "mats": mats}
+    leaves, treedef = jax.tree.flatten(combined)
+    leaves = [jnp.asarray(l) for l in leaves]
+    leaf_meta = tuple((jnp.shape(l), int(l.size), l.dtype) for l in leaves)
+    leaves2d = [l.reshape(1, l.size) for l in leaves if l.size]
+    corners_arr = jnp.stack([jnp.asarray(c, jnp.float32) for c in corners])
+    scalar_arr = jnp.asarray(sample0, jnp.uint32).astype(
+        jnp.int32).reshape(1, 1)
+
+    def kernel(corners_ref, scalar_ref, *refs):
+        n_shipped = sum(1 for _, size, _ in leaf_meta if size)
+        param_refs = refs[:n_shipped]
+        out_r, out_g, out_b = refs[n_shipped:]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        py = i * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+        px = j * bw + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+        rebuilt = []
+        ri = 0
+        for shp, size, dt in leaf_meta:
+            if size == 0:
+                rebuilt.append(jnp.zeros(shp, dt))
+            else:
+                rebuilt.append(param_refs[ri][:].reshape(shp))
+                ri += 1
+        tree = jax.tree.unflatten(treedef, rebuilt)
+        p, m = tree["scene"], tree["mats"]
+        corners_t = tuple(corners_ref[k, :] for k in range(5))
+        e = corners_t[0]
+        eye = Vec3(jnp.full((bh, bw), e[0], jnp.float32),
+                   jnp.full((bh, bw), e[1], jnp.float32),
+                   jnp.full((bh, bw), e[2], jnp.float32))
+        s0 = scalar_ref[0, 0].astype(jnp.uint32)
+
+        def body(k, acc):
+            s = s0 + jnp.asarray(k).astype(jnp.uint32)
+            rng = RNGStream(cfg.seed, px, py, s, jnp.uint32(1 << 20))
+            d = primary_rays(corners_t, px, py, cfg.width, cfg.height, rng)
+            wl, power = trace_spectral(scene, p, m, cfg, eye, d, px, py, s)
+            c = wavelength_to_rgb(wl) * power
+            ar, ag, ab = acc
+            return (ar + c.x, ag + c.y, ab + c.z)
+
+        zero = jnp.zeros((bh, bw), jnp.float32)
+        acc0 = body(0, (zero, zero, zero))
+        ar, ag, ab = jax.lax.fori_loop(1, n_samples, body, acc0)
+        inv = 1.0 / float(n_samples)
+        out_r[:] = ar * inv
+        out_g[:] = ag * inv
+        out_b[:] = ab * inv
+
+    grid = (ph // bh, pw // bw)
+    small_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    plane = jax.ShapeDtypeStruct((ph, pw), jnp.float32)
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[small_vmem, pl.BlockSpec(memory_space=pltpu.SMEM)]
+                 + [small_vmem] * len(leaves2d),
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(plane, plane, plane),
+        interpret=interpret,
+    )(corners_arr, scalar_arr, *leaves2d)
+    return jnp.stack([r, g, b], axis=-1)

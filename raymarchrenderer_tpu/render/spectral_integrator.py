@@ -51,6 +51,29 @@ class SpectralMaterials(NamedTuple):
             jnp.asarray(a[:, 3].astype(np.int32)))
 
 
+def _lookup(mats: "SpectralMaterials", mid):
+    """Per-lane band-table row select.
+
+    A static unrolled where-chain over the (small, trace-time-known) material
+    count instead of a dynamic gather: identical values, and it lowers in
+    Mosaic (Pallas TPU has no general vector gather), so the spectral
+    integrator runs verbatim inside the fused kernel."""
+    n = mats.min_wave.shape[0]
+    shape = jnp.shape(mid)
+    m_min = jnp.zeros(shape, jnp.float32)
+    m_max = jnp.zeros(shape, jnp.float32)
+    m_pow = jnp.zeros(shape, jnp.float32)
+    m_kind = jnp.zeros(shape, jnp.int32)
+    midc = jnp.clip(mid, 0, n - 1)
+    for i in range(n):
+        sel = midc == i
+        m_min = jnp.where(sel, mats.min_wave[i], m_min)
+        m_max = jnp.where(sel, mats.max_wave[i], m_max)
+        m_pow = jnp.where(sel, mats.power[i], m_pow)
+        m_kind = jnp.where(sel, mats.kind[i], m_kind)
+    return m_min, m_max, m_pow, m_kind
+
+
 def _apply_band(wl, power, u, min_w, max_w, mat_p):
     """One `mat_func_N` body (`RayMarch3.glsl:251-281`).
 
@@ -84,11 +107,7 @@ def trace_spectral(scene: Scene, params, mats: SpectralMaterials,
         normal = get_normal(scene, params, cfg, hitp)
         rng = RNGStream(cfg.seed, px, py, sample, b)
 
-        midc = jnp.clip(mid, 0, mats.min_wave.shape[0] - 1)
-        m_min = mats.min_wave[midc]
-        m_max = mats.max_wave[midc]
-        m_pow = mats.power[midc]
-        m_kind = mats.kind[midc]
+        m_min, m_max, m_pow, m_kind = _lookup(mats, mid)
 
         u = rng.next()
         hit_active = active & hitm

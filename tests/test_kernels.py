@@ -96,3 +96,22 @@ class TestFusedParity:
         with pytest.raises(ValueError):
             render_fused(scene, params, CFG.replace(width=192), _corners(),
                          jnp.uint32(0), block=BLOCK, interpret=True)
+
+
+class TestFusedSpectral:
+    def test_fused_spectral_matches_oracle(self):
+        import numpy as np
+
+        from raymarchrenderer_tpu.kernels.march import render_fused_spectral
+        from raymarchrenderer_tpu.render.spectral_integrator import (
+            render_sample_spectral, spectral_demo)
+        scene, params, mats = spectral_demo()
+        cfg = CFG.replace(max_bounces=3)
+        a = np.asarray(render_sample_spectral(scene, params, mats, cfg,
+                                              _corners(), jnp.uint32(1)).stack(-1))
+        b = np.asarray(render_fused_spectral(scene, params, mats, cfg,
+                                             _corners(), jnp.uint32(1),
+                                             n_samples=1, block=BLOCK,
+                                             interpret=True))
+        d = np.abs(a - b)
+        assert float((d > 1e-5).mean()) < 1e-3
