@@ -11,7 +11,14 @@ ratio against the self-defined round-0 target of 1.0 Mpix·spp/s/chip — a
 
 Env knobs: BENCH_SIZE (default 1024), BENCH_SPP (default 128 — the
 reference GUI default, all samples in ONE megakernel launch with in-loop
-path regeneration), BENCH_IMPL=oracle|pallas (default pallas on TPU).
+path regeneration), BENCH_IMPL=oracle|pallas (default pallas on TPU),
+BENCH_RELAX (default 1.6 — safeguarded over-relaxed sphere tracing; set 0
+for the reference's classic stepMultiply=0.5 march), BENCH_NORMAL_TAPS
+(default 4 — tetrahedron-difference normals; set 6 for reference-parity
+central differences).  The accelerated march/normals produce the same hit
+set and O(ε)-identical images (tests/test_relax.py); the workload —
+scene, resolution, spp, bounce/step budgets — is the reference default
+either way.
 """
 from __future__ import annotations
 
@@ -34,9 +41,12 @@ def main():
     from raymarchrenderer_tpu.render.config import RenderConfig
     from raymarchrenderer_tpu.scene.builtin import sphere_on_floor
 
+    relax = float(os.environ.get("BENCH_RELAX", "1.6"))
+    taps = int(os.environ.get("BENCH_NORMAL_TAPS", "4"))
     scene = sphere_on_floor()
     params = scene.init_params()
-    cfg = RenderConfig(width=size, height=size)
+    cfg = RenderConfig(width=size, height=size, relax_omega=relax,
+                       normal_taps=taps)
     corners = Camera(aspect=size / size).corner_rays_flat()
 
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -93,6 +103,8 @@ def main():
         "rays_per_s_est": round(rays_s, 1),
         "wall_s": round(dt, 3),
         "spp": spp,
+        "relax_omega": relax,
+        "normal_taps": taps,
     }
     print(json.dumps(result))
 

@@ -30,6 +30,22 @@ class RenderConfig:
     exit_offset: float = 3e-3      # outside-offset after refraction exit
     inside_offset: float = 2e-3    # inward offset when entering a dielectric
     separate_channels: bool = False  # dispersion: trace R,G,B separately
+    # Over-relaxed sphere tracing (Keinert et al. 2014, "Enhanced Sphere
+    # Tracing" §3.1): march with step = dist·ω, ω ∈ (1, 2), accepting a step
+    # only when consecutive unbounding spheres overlap (radius_i + radius_{i-1}
+    # ≥ step) — otherwise back off and drop to ω=1 for the rest of the
+    # segment.  Exact same hit set as the classic march for any 1-Lipschitz
+    # (distance-underestimating) SDF, in ~2-3× fewer map evals than the
+    # reference's ultra-conservative stepMultiply=0.5 (`Graphics.cpp:329`).
+    # 0.0 disables (default — bitwise parity with the reference semantics);
+    # scenes that warp space faster than 1-Lipschitz (scaled domains) should
+    # keep it off, which is why the reference marches at 0.5 in the first
+    # place.
+    relax_omega: float = 0.0
+    # SDF-gradient normal estimator: 6 = central differences (reference
+    # parity, `RayMarch.glsl:259-268`); 4 = tetrahedron differences (same
+    # O(ε²) accuracy, one third fewer map evals per shade).
+    normal_taps: int = 6
     sky_power: float = 0.015       # RayMarch3.glsl:105 constant sky
     seed: int = 0
     # tile grid: retained for scheduler parity / progressive preview chunking

@@ -48,6 +48,8 @@ def march(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
     map(o + t d) * dist_mult; hit when < hit_eps (returning the *pre-step*
     t); miss when t >= max_dist; advance t += dist * step_multiply; give up
     after max_steps → miss."""
+    if cfg.relax_omega > 1.0:
+        return _march_relaxed(scene, params, cfg, o, d, dist_mult, active)
     shape = jnp.shape(o.x)
     t0 = jnp.zeros(shape, jnp.float32)
     mid0 = jnp.full(shape, -1, jnp.int32)
@@ -83,14 +85,76 @@ def march(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
     return t, mid, hit_b
 
 
+def _march_relaxed(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
+                   dist_mult, active):
+    """Safeguarded over-relaxed sphere trace (`cfg.relax_omega` > 1).
+
+    Same contract as `march`: returns (t, mat_index, hit_mask) with hits in
+    the same surface-ε band.  Accepts a relaxed step (t += dist·ω) only when
+    the new unbounding sphere overlaps the previous one
+    (radius_i + radius_{i-1} ≥ step taken); on failure it backs the lane off
+    by (ω-1)·step and finishes the segment at ω=1 — so no surface a classic
+    march would find is ever skipped (for a distance-underestimating map)."""
+    shape = jnp.shape(o.x)
+    t0 = jnp.zeros(shape, jnp.float32)
+    mid0 = jnp.full(shape, -1, jnp.int32)
+    hit0 = jnp.zeros(shape, jnp.int32)
+    done0 = 1 - active.astype(jnp.int32)
+    om0 = jnp.full(shape, cfg.relax_omega, jnp.float32)
+    zero = jnp.zeros(shape, jnp.float32)
+
+    def cond(s):
+        done, step = s[3], s[4]
+        return (step < cfg.max_steps) & (jnp.min(done) < 1)
+
+    def body(s):
+        t, mid, hitm, done, step, omega, prev_r, step_len = s
+        p = o + d * t
+        dist, m = scene.map(params, p, cfg.max_dist)
+        dist = dist * dist_mult
+        live = done < 1
+        fail = live & (omega > 1.0) & (dist + prev_r < step_len)
+        is_hit = live & ~fail & (dist < cfg.hit_eps)
+        is_miss = live & ~fail & ~is_hit & (t >= cfg.max_dist)
+        mid = jnp.where(is_hit, m, mid)
+        hitm = hitm | is_hit.astype(jnp.int32)
+        done = done | is_hit.astype(jnp.int32) | is_miss.astype(jnp.int32)
+        adv = live & (done < 1)
+        new_len = jnp.where(fail, step_len * (1.0 - omega), dist * omega)
+        omega = jnp.where(fail, 1.0, omega)
+        prev_r = jnp.where(adv, jnp.abs(dist), prev_r)
+        step_len = jnp.where(adv, jnp.abs(new_len), step_len)
+        t = jnp.where(adv, t + new_len, t)
+        return t, mid, hitm, done, step + 1, omega, prev_r, step_len
+
+    t, mid, hitm, _, _, _, _, _ = lax.while_loop(
+        cond, body, (t0, mid0, hit0, done0, jnp.int32(0), om0, zero, zero))
+    hit_b = hitm > 0
+    t = jnp.where(hit_b, t, cfg.max_dist)
+    mid = jnp.where(hit_b, mid, -1)
+    return t, mid, hit_b
+
+
 def get_normal(scene: Scene, params, cfg: RenderConfig, p: Vec3) -> Vec3:
-    """Central-difference SDF gradient (`getNormal`, `RayMarch.glsl:259-268`;
-    ε = 0.001)."""
+    """SDF gradient normal.
+
+    Default (`normal_taps=6`): central differences — parity with
+    `getNormal` (`RayMarch.glsl:259-268`; ε = 0.001).
+    Opt-in (`normal_taps=4`): tetrahedron differences (same O(ε²) accuracy,
+    4 map evals instead of 6 — the standard SDF-renderer trick)."""
     e = cfg.normal_eps
-    ex = Vec3.full(jnp.shape(p.x), e, 0.0, 0.0)
-    ey = Vec3.full(jnp.shape(p.x), 0.0, e, 0.0)
-    ez = Vec3.full(jnp.shape(p.x), 0.0, 0.0, e)
     md = lambda q: scene.map_dist(params, q, cfg.max_dist)  # noqa: E731
+    shape = jnp.shape(p.x)
+    if cfg.normal_taps == 4:
+        n = Vec3.zeros(shape)
+        for kx, ky, kz in ((1.0, -1.0, -1.0), (-1.0, -1.0, 1.0),
+                           (-1.0, 1.0, -1.0), (1.0, 1.0, 1.0)):
+            k = Vec3.full(shape, kx, ky, kz)
+            n = n + k * md(p + k * e)
+        return n.normalized()
+    ex = Vec3.full(shape, e, 0.0, 0.0)
+    ey = Vec3.full(shape, 0.0, e, 0.0)
+    ez = Vec3.full(shape, 0.0, 0.0, e)
     n = Vec3(md(p + ex) - md(p - ex),
              md(p + ey) - md(p - ey),
              md(p + ez) - md(p - ez))

@@ -70,6 +70,12 @@ class _MegaState(NamedTuple):
     state: jax.Array   # int32 lane state
     steps: jax.Array   # int32 steps spent on current segment
     mid: jax.Array     # int32 material index of parked hit
+    # over-relaxation carries (cfg.relax_omega > 1; identity updates — and
+    # therefore free — when disabled): per-lane ω, previous unbounding-sphere
+    # radius, and last step length of the current segment
+    omega: jax.Array
+    prev_r: jax.Array
+    step_len: jax.Array
 
 
 def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
@@ -92,17 +98,26 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         rng = RNGStream(cfg.seed, px, py, s, jnp.uint32(1 << 20))
         return primary_rays(corners, px, py, cfg.width, cfg.height, rng)
 
+    relax = cfg.relax_omega > 1.0
+
     def march_step(st: _MegaState) -> _MegaState:
         marching = st.state == _MARCH
         dist_mult = 1.0 - 2.0 * st.inside
         p = st.o + st.d * st.t
         dist, m = scene.map(params, p, cfg.max_dist)
         dist = dist * dist_mult
-        is_hit = marching & (dist < cfg.hit_eps)
+        if relax:
+            # safeguarded over-relaxation (see integrator._march_relaxed):
+            # a step is valid only if consecutive unbounding spheres overlap
+            fail = marching & (st.omega > 1.0) & (
+                dist + st.prev_r < st.step_len)
+        else:
+            fail = jnp.zeros(jnp.shape(st.t), bool)
+        is_hit = marching & ~fail & (dist < cfg.hit_eps)
         steps = jnp.where(marching, st.steps + 1, st.steps)
         # miss on the PRE-step t (parity with `march`, RayMarch.glsl:233-257)
         # or on step-budget exhaustion (march loop falling off the end).
-        is_miss = marching & ~is_hit & (
+        is_miss = marching & ~fail & ~is_hit & (
             (st.t >= cfg.max_dist) | (steps >= cfg.max_steps))
         mid = jnp.where(is_hit, m, st.mid)
         sky = scene.sky(params, st.d)
@@ -110,6 +125,16 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         state = jnp.where(is_hit, _WAIT,
                           jnp.where(is_miss, _REGEN, st.state))
         still = marching & ~is_hit & ~is_miss
+        if relax:
+            new_len = jnp.where(fail, st.step_len * (1.0 - st.omega),
+                                dist * st.omega)
+            omega = jnp.where(fail, 1.0, st.omega)
+            prev_r = jnp.where(still, jnp.abs(dist), st.prev_r)
+            step_len = jnp.where(still, jnp.abs(new_len), st.step_len)
+            t = jnp.where(still, st.t + new_len, st.t)
+            return st._replace(t=t, thr=thr, state=state, steps=steps,
+                               mid=mid, omega=omega, prev_r=prev_r,
+                               step_len=step_len)
         t = jnp.where(still, st.t + dist * cfg.step_multiply, st.t)
         return st._replace(t=t, thr=thr, state=state, steps=steps, mid=mid)
 
@@ -138,8 +163,9 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         d = vselect(waiting, s.dir, st.d)
         t = jnp.where(waiting, 0.0, st.t)
         steps = jnp.where(waiting, 0, st.steps)
-        return st._replace(o=o, d=d, t=t, thr=thr, inside=inside,
-                           bounce=bounce, state=state, steps=steps)
+        st = st._replace(o=o, d=d, t=t, thr=thr, inside=inside,
+                         bounce=bounce, state=state, steps=steps)
+        return _reset_relax(st, waiting) if relax else st
 
     def regen(st: _MegaState) -> _MegaState:
         """Bank finished paths and respawn the lane on its next sample."""
@@ -159,8 +185,15 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         steps = jnp.where(pending, 0, st.steps)
         bounce = jnp.where(pending, 0, st.bounce)
         inside = jnp.where(pending, 0.0, st.inside)
-        return _MegaState(o, d, t, thr, acc, inside, bounce, s_idx, state,
-                          steps, st.mid)
+        out = _MegaState(o, d, t, thr, acc, inside, bounce, s_idx, state,
+                         steps, st.mid, st.omega, st.prev_r, st.step_len)
+        return _reset_relax(out, pending) if relax else out
+
+    def _reset_relax(st: _MegaState, mask) -> _MegaState:
+        return st._replace(
+            omega=jnp.where(mask, cfg.relax_omega, st.omega),
+            prev_r=jnp.where(mask, 0.0, st.prev_r),
+            step_len=jnp.where(mask, 0.0, st.step_len))
 
     def parked_pass(st: _MegaState) -> _MegaState:
         return regen(shade(st))
@@ -186,7 +219,9 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
     init = _MegaState(
         o=eye, d=primary(izero), t=zero, thr=channels, acc=Vec3.zeros(shape),
         inside=zero, bounce=izero, s_idx=izero, state=izero, steps=izero,
-        mid=jnp.full(shape, -1, jnp.int32))
+        mid=jnp.full(shape, -1, jnp.int32),
+        omega=jnp.full(shape, max(cfg.relax_omega, 1.0), jnp.float32),
+        prev_r=zero, step_len=zero)
     # Peel one march step so the while_loop carries enter with concrete
     # (non-splat) Mosaic layouts — same reason trace_rgb peels bounce 0.
     st0 = march_step(init)
