@@ -12,7 +12,7 @@ ratio against the self-defined round-0 target of 1.0 Mpix·spp/s/chip — a
 Env knobs: BENCH_SIZE (default 1024), BENCH_SPP (default 128 — the
 reference GUI default, all samples in ONE megakernel launch with in-loop
 path regeneration), BENCH_IMPL=oracle|pallas (default pallas on TPU),
-BENCH_RELAX (default 1.6 — safeguarded over-relaxed sphere tracing; set 0
+BENCH_RELAX (default 1.9 — safeguarded over-relaxed sphere tracing; set 0
 for the reference's classic stepMultiply=0.5 march), BENCH_NORMAL_TAPS
 (default 4 — tetrahedron-difference normals; set 6 for reference-parity
 central differences).  The accelerated march/normals produce the same hit
@@ -41,7 +41,7 @@ def main():
     from raymarchrenderer_tpu.render.config import RenderConfig
     from raymarchrenderer_tpu.scene.builtin import sphere_on_floor
 
-    relax = float(os.environ.get("BENCH_RELAX", "1.6"))
+    relax = float(os.environ.get("BENCH_RELAX", "1.9"))
     taps = int(os.environ.get("BENCH_NORMAL_TAPS", "4"))
     scene = sphere_on_floor()
     params = scene.init_params()

@@ -25,9 +25,11 @@ graph compiles into the kernel with zero string codegen — the trace-time
 equivalent of the reference's `//#…INSERT` GLSL splicing
 (`Graphics.cpp:64-113`).
 
-Env-map scenes fall back to the oracle path (arbitrary 2-D gathers are
-not VPU-friendly; the constant-power sky covers the reference's shipped
-scenes — its HDR texture is absent from the repo, `Graphics.cpp:287`).
+Env-map scenes run the wavefront mode with a *deferred sky*: arbitrary
+2-D gathers are VPU-hostile, so the kernel records each path's (at most
+one) miss event — throughput and direction — in six extra output planes,
+and the equirect lookup (`RayMarch.glsl:78-113` semantics) composites
+outside in plain XLA: color + miss_thr · sky(miss_dir).
 """
 from __future__ import annotations
 
@@ -52,9 +54,12 @@ from raymarchrenderer_tpu.scene.graph import Scene
 # straggler lanes don't dominate.  Swept on-chip; see bench.py.
 DEFAULT_BH = 32
 DEFAULT_BW = 128
-# Shade-pass batching gate and march-chunk unroll (render.mega.trace_mega):
-# measured optima on v5e (32.75 Mpix*spp/s at the 1024^2/512/16 workload).
-DEFAULT_SHADE_GATE = 32.0
+# Shade-pass cadence and march-chunk unroll (render.mega.trace_mega):
+# measured optima on v5e at the 1024^2/512/16 default workload with the
+# relaxed march (bench.py): gate 0 = one unconditional masked pass per
+# 32-step chunk — with short relaxed segments the two global reductions +
+# cond of the adaptive gate cost more than they save.
+DEFAULT_SHADE_GATE = 0.0
 DEFAULT_MARCH_UNROLL = 32
 
 
@@ -62,13 +67,18 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
                  n_samples: int, direct_light: bool, bh: int, bw: int,
                  mode: str = "wavefront",
                  shade_gate: float = DEFAULT_SHADE_GATE,
-                 march_unroll: int = DEFAULT_MARCH_UNROLL):
+                 march_unroll: int = DEFAULT_MARCH_UNROLL,
+                 defer_sky: bool = False):
     """Build the kernel body (closed over the static scene/config)."""
 
     def kernel(corners_ref, scalar_ref, *refs):
         n_shipped = sum(1 for _, size in leaf_shapes if size)
         param_refs = refs[:n_shipped]
-        out_r, out_g, out_b = refs[n_shipped:]
+        if defer_sky:
+            (out_r, out_g, out_b, mt_r, mt_g, mt_b,
+             md_x, md_y, md_z) = refs[n_shipped:]
+        else:
+            out_r, out_g, out_b = refs[n_shipped:]
 
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -107,6 +117,20 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
             out_r[:] = c.x * inv
             out_g[:] = c.y * inv
             out_b[:] = c.z * inv
+            return
+
+        if defer_sky:
+            # env-map scenes: ONE sample per launch; the kernel records the
+            # miss event (throughput + direction) and the equirect gather
+            # composites outside in plain XLA (render_fused_patch).
+            rng = RNGStream(cfg.seed, px, py, s0, jnp.uint32(1 << 20))
+            d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
+            c, mthr, mdir = trace_rgb(scene, params, cfg, eye, d, px, py,
+                                      s0, channels, direct_light,
+                                      defer_sky=True)
+            out_r[:], out_g[:], out_b[:] = c.x, c.y, c.z
+            mt_r[:], mt_g[:], mt_b[:] = mthr.x, mthr.y, mthr.z
+            md_x[:], md_y[:], md_z[:] = mdir.x, mdir.y, mdir.z
             return
 
         def body(k, acc):
@@ -149,13 +173,17 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
 
     `interpret=True` runs the Pallas interpreter (CPU test path — the
     "fake backend" of SURVEY.md §4 item 2)."""
-    if scene.has_env_map:
-        raise NotImplementedError(
-            "env-map sky uses the oracle integrator (gather-heavy)")
+    defer_sky = scene.has_env_map
     if mode == "auto":
         # megakernel is the fast path; NEE shadow marches are
-        # bounce-synchronous and stay on the wavefront integrator
-        mode = "wavefront" if direct_light else "mega"
+        # bounce-synchronous and env-map miss events are per-sample, so
+        # both stay on the wavefront integrator
+        mode = "wavefront" if (direct_light or defer_sky) else "mega"
+    if defer_sky and mode == "mega":
+        raise NotImplementedError(
+            "env-map scenes use the wavefront mode (the megakernel banks "
+            "finished samples in-loop, so per-sample miss events cannot be "
+            "deferred to the out-of-kernel sky gather)")
     if interpret:
         # unroll is a pure scheduling knob (bitwise invariant); the Pallas
         # interpreter just pays its trace blow-up, so keep tests fast
@@ -175,37 +203,67 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
             f"patch {pw}x{ph} must tile by block {bw}x{bh}; pad the frame "
             f"or pick block sizes that divide it")
 
-    leaves, treedef = jax.tree.flatten(params)
+    if defer_sky:
+        # the env image never enters the kernel (VPU-hostile gather, and it
+        # would bloat VMEM) — ship a placeholder leaf; the real image is
+        # gathered in the XLA composite below
+        ship_params = dict(params)
+        ship_params["env"] = dict(params["env"])
+        ship_params["env"]["image"] = jnp.zeros((1, 1, 3), jnp.float32)
+    else:
+        ship_params = params
+    leaves, treedef = jax.tree.flatten(ship_params)
     leaves = [jnp.asarray(l, jnp.float32) for l in leaves]
     leaf_shapes = tuple((jnp.shape(l), int(l.size)) for l in leaves)
     # TPU refs want >=2D: ship each non-empty leaf as (1, size)
     leaves2d = [l.reshape(1, l.size) for l in leaves if l.size]
     corners_arr = jnp.stack([jnp.asarray(c, jnp.float32) for c in corners])
-    scalar_arr = jnp.stack([
-        jnp.asarray(sample0, jnp.uint32).astype(jnp.int32),
-        jnp.asarray(origin_xy[1], jnp.int32),
-        jnp.asarray(origin_xy[0], jnp.int32)]).reshape(1, 3)
 
-    kernel = _tile_kernel(scene, cfg, treedef, leaf_shapes, n_samples,
+    kernel = _tile_kernel(scene, cfg, treedef, leaf_shapes,
+                          1 if defer_sky else n_samples,
                           direct_light, bh, bw, mode, shade_gate,
-                          march_unroll)
+                          march_unroll, defer_sky)
     grid = (ph // bh, pw // bw)
     small_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     plane = jax.ShapeDtypeStruct((ph, pw), jnp.float32)
+    n_out = 9 if defer_sky else 3
 
-    r, g, b = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[small_vmem,
-                  pl.BlockSpec(memory_space=pltpu.SMEM)]
-                 + [small_vmem] * len(leaves2d),
-        out_specs=(out_spec, out_spec, out_spec),
-        out_shape=(plane, plane, plane),
-        interpret=interpret,
-    )(corners_arr, scalar_arr, *leaves2d)
-    return jnp.stack([r, g, b], axis=-1)
+    def launch(sample):
+        scalar_arr = jnp.stack([
+            jnp.asarray(sample, jnp.uint32).astype(jnp.int32),
+            jnp.asarray(origin_xy[1], jnp.int32),
+            jnp.asarray(origin_xy[0], jnp.int32)]).reshape(1, 3)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[small_vmem,
+                      pl.BlockSpec(memory_space=pltpu.SMEM)]
+                     + [small_vmem] * len(leaves2d),
+            out_specs=(out_spec,) * n_out,
+            out_shape=(plane,) * n_out,
+            interpret=interpret,
+        )(corners_arr, scalar_arr, *leaves2d)
+
+    if not defer_sky:
+        r, g, b = launch(sample0)
+        return jnp.stack([r, g, b], axis=-1)
+
+    def one_sample(sample):
+        r, g, b, tr, tg, tb, dx, dy, dz = launch(sample)
+        sky = scene.sky(params, Vec3(dx, dy, dz))
+        return jnp.stack([r + tr * sky.x, g + tg * sky.y, b + tb * sky.z],
+                         axis=-1)
+
+    s0 = jnp.asarray(sample0, jnp.uint32)
+    if n_samples == 1:
+        return one_sample(s0)
+    total = jax.lax.fori_loop(
+        0, n_samples,
+        lambda k, acc: acc + one_sample(s0 + jnp.uint32(k)),
+        jnp.zeros((ph, pw, 3), jnp.float32))
+    return total / float(n_samples)
 
 
 def render_fused(scene: Scene, params, cfg: RenderConfig, corners,

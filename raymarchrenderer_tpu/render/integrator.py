@@ -168,6 +168,8 @@ class _TraceState(NamedTuple):
     extra: Vec3       # additive radiance from next-event estimation
     inside: jax.Array  # float 0/1
     active: jax.Array  # int32 0/1 (i1 carries don't legalize in Mosaic)
+    miss_thr: Vec3    # defer_sky mode: throughput at the miss event
+    miss_dir: Vec3    # defer_sky mode: the miss direction
 
 
 def _direct_light(scene: Scene, params, cfg: RenderConfig, hitp: Vec3,
@@ -205,7 +207,8 @@ def _direct_light(scene: Scene, params, cfg: RenderConfig, hitp: Vec3,
 def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
               px, py, sample, channels: Vec3,
               direct_light: bool = False,
-              differentiable: bool = False) -> Vec3:
+              differentiable: bool = False,
+              defer_sky: bool = False):
     """Gen-1 `trace` (`RayMarch.glsl:483-565`), fully masked.
 
     Paths terminate on emission (dir == 0), on sky miss, or after
@@ -214,7 +217,14 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
 
     `differentiable=True` swaps the march for the reparameterized-adjoint
     version (`diff.march_diff`) so `jax.grad` flows through hit geometry to
-    scene parameters (inverse rendering, BASELINE config 4)."""
+    scene parameters (inverse rendering, BASELINE config 4).
+
+    `defer_sky=True` skips the sky evaluation and instead returns
+    (color, miss_thr, miss_dir): the caller composites
+    `color + miss_thr * sky(miss_dir)` itself.  This is how env-map scenes
+    run inside the fused Pallas kernel — the equirect gather is
+    VPU-hostile, so the kernel records the (at most one per path) miss
+    event and the gather happens in plain XLA outside (kernels/march.py)."""
     shape = jnp.shape(d0.x)
     ones = jnp.ones(shape, jnp.float32)
     if differentiable:
@@ -238,10 +248,20 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
 
         hit_active = active_b & hitm
         miss_active = active_b & ~hitm
-        sky = scene.sky(params, st.d)
-        mult = vselect(hit_active, s.color,
-                       vselect(miss_active, sky,
-                               Vec3(ones, ones, ones)))
+        if defer_sky:
+            # record the miss event; radiance composited by the caller
+            miss_thr = vselect(miss_active, st.color, st.miss_thr)
+            miss_dir = vselect(miss_active, st.d, st.miss_dir)
+            zeros = Vec3.zeros(shape)
+            mult = vselect(hit_active, s.color,
+                           vselect(miss_active, zeros,
+                                   Vec3(ones, ones, ones)))
+        else:
+            miss_thr, miss_dir = st.miss_thr, st.miss_dir
+            sky = scene.sky(params, st.d)
+            mult = vselect(hit_active, s.color,
+                           vselect(miss_active, sky,
+                                   Vec3(ones, ones, ones)))
         color = st.color * mult
 
         new_inside_b = s.inside.x > 0.5
@@ -262,12 +282,13 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
         o = vselect(active, o_next, st.o)
         d = vselect(active, s.dir, st.d)
         return _TraceState(o, d, color, extra, inside,
-                           active.astype(jnp.int32))
+                           active.astype(jnp.int32), miss_thr, miss_dir)
 
     init = _TraceState(
         o=eye, d=d0, color=channels, extra=Vec3.zeros(shape),
         inside=jnp.zeros(shape, jnp.float32),
-        active=jnp.ones(shape, jnp.int32))
+        active=jnp.ones(shape, jnp.int32),
+        miss_thr=Vec3.zeros(shape), miss_dir=Vec3.zeros(shape))
     # Peel bounce 0 out of the loop: Mosaic cannot relayout the replicated
     # (splat-constant) initial carries into the concrete layouts the body
     # yields, so the loop must start from an already-computed state.
@@ -295,6 +316,8 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
         _, out = lax.while_loop(wcond, wbody, (jnp.int32(1), st0))
     # paths still active after max_bounces return their bare albedo product,
     # exactly like the reference's loop falling off the end (RayMarch.glsl:493)
+    if defer_sky:
+        return out.color + out.extra, out.miss_thr, out.miss_dir
     return out.color + out.extra
 
 

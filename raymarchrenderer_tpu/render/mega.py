@@ -201,6 +201,11 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
     def body(st: _MegaState) -> _MegaState:
         for _ in range(march_unroll):
             st = march_step(st)
+        if shade_gate <= 0:
+            # unconditional cadence: one (masked) pass per chunk — no global
+            # reductions, no cond.  Right when segments are short (relaxed
+            # march) and the chunk is small.
+            return parked_pass(st)
         n_march = jnp.sum((st.state == _MARCH).astype(jnp.int32))
         n_park = jnp.sum(((st.state == _WAIT)
                           | (st.state == _REGEN)).astype(jnp.int32))

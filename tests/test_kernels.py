@@ -81,6 +81,39 @@ class TestFusedParity:
         assert n_o == n_f == 4.0
         assert _frac_off(img_o, img_f) < 1e-3
 
+    def test_env_map_deferred_sky(self):
+        # env-map scenes run the wavefront kernel with the sky gather
+        # deferred to an XLA composite — bitwise vs the oracle (the same
+        # gather, the same throughput, one multiply each side)
+        rng = np.random.RandomState(7)
+        img = rng.uniform(0.0, 2.0, (8, 16, 3)).astype(np.float32)
+        b = builtin.SceneBuilder()
+        m = b.diffuse([0.6, 0.5, 0.4])
+        b.sphere(m, [0.0, 1.0, 0.0], 1.0)
+        b.box(m, [0.0, -0.05, 0.0], [8.0, 0.05, 8.0])
+        scene = b.build(env_image=img)
+        params = scene.init_params()
+        oracle = render_sample(scene, params, CFG, _corners(),
+                               jnp.uint32(2)).stack(-1)
+        fused = render_fused(scene, params, CFG, _corners(), jnp.uint32(2),
+                             n_samples=1, block=BLOCK, interpret=True)
+        np.testing.assert_array_equal(np.asarray(oracle), np.asarray(fused))
+
+    def test_env_map_deferred_sky_multisample(self):
+        img = np.ones((4, 8, 3), np.float32) * 0.5
+        img[:2] = 2.0
+        b = builtin.SceneBuilder()
+        m = b.diffuse([0.5, 0.5, 0.5])
+        b.sphere(m, [0.0, 1.0, 0.0], 1.0)
+        scene = b.build(env_image=img)
+        params = scene.init_params()
+        o = [render_sample(scene, params, CFG, _corners(),
+                           jnp.uint32(s)).stack(-1) for s in (1, 2)]
+        mean = sum(np.asarray(x) for x in o) / 2.0
+        fused = render_fused(scene, params, CFG, _corners(), jnp.uint32(1),
+                             n_samples=2, block=BLOCK, interpret=True)
+        assert _frac_off(mean, fused) < 1e-3
+
     def test_small_frame_clamps_block(self):
         # frames smaller than the block clamp the block to the frame
         scene = builtin.sphere_on_floor()

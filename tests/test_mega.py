@@ -54,7 +54,7 @@ def test_mega_gate_invariant():
     outs = [np.asarray(jax.jit(
         lambda p, s, g=g: _mega_sample(scene, p, CFG, corners, s,
                                        shade_gate=g)
-    )(params, jnp.uint32(1))) for g in (0.25, 1.0, 32.0, 1e9)]
+    )(params, jnp.uint32(1))) for g in (0.0, 0.25, 1.0, 32.0, 1e9)]
     for o in outs[1:]:
         np.testing.assert_array_equal(outs[0], o)
 
