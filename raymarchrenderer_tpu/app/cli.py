@@ -105,8 +105,8 @@ def _pick_impl(args, scene):
     if args.impl != "auto":
         return args.impl
     on_tpu = jax.devices()[0].platform == "tpu"
-    ok = (not scene.has_env_map and args.width % 128 == 0
-          and args.height % 32 == 0)
+    # env-map scenes are fused too (deferred-sky wavefront kernel)
+    ok = args.width % 128 == 0 and args.height % 32 == 0
     return "fused" if (on_tpu and ok) else "oracle"
 
 

@@ -16,9 +16,11 @@ every lane has finished every sample.  Three scheduling ideas stack:
 
   1. per-lane bounce progression — tile cost is the straggler of the sum,
      not the sum of per-bounce stragglers;
-  2. batched shade passes — shading (6-eval SDF normal + material graph +
-     RNG, ~10× a march step) runs under `lax.cond` only when parked lanes
-     outnumber marchers (`shade_gate`);
+  2. batched shade passes — shading (SDF-gradient normal + material graph +
+     RNG, ~10× a march step) runs once per `march_unroll`-step chunk:
+     unconditionally when `shade_gate<=0` (no reductions, the measured
+     optimum with the relaxed march), else under `lax.cond` when parked
+     lanes outnumber marchers by the gate ratio;
   3. path regeneration over samples — a lane whose path terminates starts
      its NEXT sample immediately instead of idling until the tile's
      stragglers finish, so straggler cost amortizes across all spp
@@ -69,7 +71,6 @@ class _MegaState(NamedTuple):
     s_idx: jax.Array   # int32 per-lane sample index
     state: jax.Array   # int32 lane state
     steps: jax.Array   # int32 steps spent on current segment
-    mid: jax.Array     # int32 material index of parked hit
     # over-relaxation carries (cfg.relax_omega > 1; identity updates — and
     # therefore free — when disabled): per-lane ω, previous unbounding-sphere
     # radius, and last step length of the current segment
@@ -104,8 +105,11 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         marching = st.state == _MARCH
         dist_mult = 1.0 - 2.0 * st.inside
         p = st.o + st.d * st.t
-        dist, m = scene.map(params, p, cfg.max_dist)
-        dist = dist * dist_mult
+        # distance-only map in the hot loop; the material id is recovered
+        # at the SAME hit point by the shade pass (one full map eval per
+        # shade instead of id-selects on every march step) — bitwise
+        # identical, the hit point does not move between march and shade
+        dist = scene.map_dist(params, p, cfg.max_dist) * dist_mult
         if relax:
             # safeguarded over-relaxation (see integrator._march_relaxed):
             # a step is valid only if consecutive unbounding spheres overlap
@@ -119,7 +123,6 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         # or on step-budget exhaustion (march loop falling off the end).
         is_miss = marching & ~fail & ~is_hit & (
             (st.t >= cfg.max_dist) | (steps >= cfg.max_steps))
-        mid = jnp.where(is_hit, m, st.mid)
         sky = scene.sky(params, st.d)
         thr = vselect(is_miss, st.thr * sky, st.thr)
         state = jnp.where(is_hit, _WAIT,
@@ -133,20 +136,21 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
             step_len = jnp.where(still, jnp.abs(new_len), st.step_len)
             t = jnp.where(still, st.t + new_len, st.t)
             return st._replace(t=t, thr=thr, state=state, steps=steps,
-                               mid=mid, omega=omega, prev_r=prev_r,
+                               omega=omega, prev_r=prev_r,
                                step_len=step_len)
         t = jnp.where(still, st.t + dist * cfg.step_multiply, st.t)
-        return st._replace(t=t, thr=thr, state=state, steps=steps, mid=mid)
+        return st._replace(t=t, thr=thr, state=state, steps=steps)
 
     def shade(st: _MegaState) -> _MegaState:
         waiting = st.state == _WAIT
         hitp = st.o + st.d * st.t
+        _, mid = scene.map(params, hitp, cfg.max_dist)
         normal = get_normal(scene, params, cfg, hitp)
         s_id = s0 + st.s_idx.astype(jnp.uint32)
         rng = RNGStream(cfg.seed, px, py, s_id, st.bounce)
         ctx = ShadeCtx(st.o, st.d, st.t, hitp, st.inside, normal, channels,
                        rng)
-        s = scene.shade(params, ctx, st.mid)
+        s = scene.shade(params, ctx, mid)
         thr = vselect(waiting, st.thr * s.color, st.thr)
         new_inside_b = s.inside.x > 0.5
         inside = jnp.where(waiting, new_inside_b.astype(jnp.float32),
@@ -186,7 +190,7 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         bounce = jnp.where(pending, 0, st.bounce)
         inside = jnp.where(pending, 0.0, st.inside)
         out = _MegaState(o, d, t, thr, acc, inside, bounce, s_idx, state,
-                         steps, st.mid, st.omega, st.prev_r, st.step_len)
+                         steps, st.omega, st.prev_r, st.step_len)
         return _reset_relax(out, pending) if relax else out
 
     def _reset_relax(st: _MegaState, mask) -> _MegaState:
@@ -224,7 +228,6 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
     init = _MegaState(
         o=eye, d=primary(izero), t=zero, thr=channels, acc=Vec3.zeros(shape),
         inside=zero, bounce=izero, s_idx=izero, state=izero, steps=izero,
-        mid=jnp.full(shape, -1, jnp.int32),
         omega=jnp.full(shape, max(cfg.relax_omega, 1.0), jnp.float32),
         prev_r=zero, step_len=zero)
     # Peel one march step so the while_loop carries enter with concrete

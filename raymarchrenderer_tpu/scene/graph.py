@@ -194,7 +194,14 @@ class Scene:
         return d, mid
 
     def map_dist(self, params: dict, p: Vec3, max_dist: float):
-        d, _ = self.map(params, p, max_dist)
+        """Distance-only map: skips the per-object material-id selects —
+        the march hot loop only needs the id at the hit point, where one
+        full `map` eval recovers it (kernels and normals use this)."""
+        shape = jnp.shape(p.x)
+        d = jnp.full(shape, max_dist, jnp.float32)
+        for oi, obj in enumerate(self.objects):
+            di = _eval_object(obj, params["objects"][oi], p)
+            d = jnp.minimum(d, di)
         return d
 
     # -- shading ----------------------------------------------------------------
