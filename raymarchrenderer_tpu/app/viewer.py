@@ -185,6 +185,24 @@ class ViewerState:
                 self.spp = cfg.spp
                 self.rendering = True
                 self.error = ""
+            # fused Pallas path on TPU (tile-aligned frames), oracle else
+            import jax
+            use_fused = (jax.devices()[0].platform == "tpu"
+                         and cfg.width % 128 == 0 and cfg.height % 32 == 0)
+            if use_fused:
+                from raymarchrenderer_tpu.kernels.march import (
+                    render_progressive_fused)
+                img, n = None, 0.0
+                chunk = 4
+                while n < cfg.spp and not self._cancel.is_set():
+                    k = min(chunk, cfg.spp - int(n))
+                    img, n = render_progressive_fused(
+                        scene, params, cfg, corners, spp=k,
+                        samples_per_launch=k, accum=img, n0=n)
+                    with self.lock:
+                        self.accum = np.asarray(img)
+                        self.n = float(n)
+                return
             state = (jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
                      jnp.float32(0.0))
             for s in range(cfg.spp):

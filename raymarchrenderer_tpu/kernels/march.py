@@ -318,14 +318,23 @@ def render_progressive_fused(scene: Scene, params, cfg: RenderConfig,
 def render_fused_spectral(scene: Scene, params, mats, cfg: RenderConfig,
                           corners, sample0, n_samples: int = 1,
                           block=(DEFAULT_BH, DEFAULT_BW),
-                          interpret: bool = False):
+                          interpret: bool = False, mode: str = "mega",
+                          shade_gate: float = DEFAULT_SHADE_GATE,
+                          march_unroll: int = DEFAULT_MARCH_UNROLL):
     """Fused gen-3 spectral render (`RayMarch3.glsl` wavelength transport)
-    as ONE Pallas launch: the whole `trace_spectral` integrator — band
-    filters via a Mosaic-safe select chain, wavelength→RGB splat — runs
-    per tile with an in-kernel spp loop.  Returns the (H, W, 3) mean.
-    Parity vs `render_sample_spectral` tested via `interpret=True`."""
+    as ONE Pallas launch: the whole spectral integrator — band filters via
+    a Mosaic-safe select chain, wavelength→RGB splat — runs per tile.
+    `mode="mega"` (default) uses the spectral megakernel
+    (`render.mega.trace_mega_spectral`: per-lane bounces + in-loop sample
+    regeneration); `mode="wavefront"` loops `trace_spectral` over samples.
+    Returns the (H, W, 3) mean.  Parity vs `render_sample_spectral` tested
+    via `interpret=True`."""
     from raymarchrenderer_tpu.core.spectral import wavelength_to_rgb
+    from raymarchrenderer_tpu.render.mega import trace_mega_spectral
     from raymarchrenderer_tpu.render.spectral_integrator import trace_spectral
+
+    if interpret:
+        march_unroll = 1  # pure scheduling knob; keep interpreter traces fast
 
     bh, bw = block
     ph, pw = cfg.height, cfg.width
@@ -367,6 +376,17 @@ def render_fused_spectral(scene: Scene, params, mats, cfg: RenderConfig,
                    jnp.full((bh, bw), e[2], jnp.float32))
         s0 = scalar_ref[0, 0].astype(jnp.uint32)
 
+        inv = 1.0 / float(n_samples)
+        if mode == "mega":
+            c = trace_mega_spectral(scene, p, m, cfg, corners_t, px, py,
+                                    s0, n_samples=n_samples,
+                                    shade_gate=shade_gate,
+                                    march_unroll=march_unroll)
+            out_r[:] = c.x * inv
+            out_g[:] = c.y * inv
+            out_b[:] = c.z * inv
+            return
+
         def body(k, acc):
             s = s0 + jnp.asarray(k).astype(jnp.uint32)
             rng = RNGStream(cfg.seed, px, py, s, jnp.uint32(1 << 20))
@@ -379,7 +399,6 @@ def render_fused_spectral(scene: Scene, params, mats, cfg: RenderConfig,
         zero = jnp.zeros((bh, bw), jnp.float32)
         acc0 = body(0, (zero, zero, zero))
         ar, ag, ab = jax.lax.fori_loop(1, n_samples, body, acc0)
-        inv = 1.0 / float(n_samples)
         out_r[:] = ar * inv
         out_g[:] = ag * inv
         out_b[:] = ab * inv

@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from raymarchrenderer_tpu.core.rng import RNGStream
+from raymarchrenderer_tpu.core.sampling import uniform_sphere_or_hemisphere
 from raymarchrenderer_tpu.core.vecmath import Vec3, vselect
 from raymarchrenderer_tpu.render.config import RenderConfig
 from raymarchrenderer_tpu.render.integrator import get_normal
@@ -245,3 +246,172 @@ def trace_mega(scene: Scene, params, cfg: RenderConfig, corners,
     return trace_mega_paths(scene, params, cfg, corners, px, py, sample,
                             channels, n_samples=1, shade_gate=shade_gate,
                             march_unroll=march_unroll)
+
+
+class _SpecState(NamedTuple):
+    """Megakernel lane state for the gen-3 spectral transport
+    (`RayMarch3.glsl:347-444`): per-path wavelength + scalar power instead
+    of RGB throughput, plus a hit/miss flag (the sky is an emitter band, so
+    misses also go through the shade pass — same RNG slots as the oracle)."""
+    o: Vec3
+    d: Vec3
+    t: jax.Array
+    wl: jax.Array      # wavelength (nm; 0 == unset)
+    power: jax.Array   # scalar path power
+    acc: Vec3          # banked RGB splat sum over finished samples
+    hitm: jax.Array    # int32: parked event was a hit (1) or a miss (0)
+    bounce: jax.Array
+    s_idx: jax.Array
+    state: jax.Array
+    steps: jax.Array
+    omega: jax.Array
+    prev_r: jax.Array
+    step_len: jax.Array
+
+
+def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
+                        corners, px, py, sample0, n_samples: int = 1,
+                        shade_gate: float = 0.0,
+                        march_unroll: int = 1) -> Vec3:
+    """Spectral twin of `trace_mega_paths`: sum over `n_samples` of
+    `wavelengthToColor(λ)·power` per pixel, bitwise equal to
+    Σ_s render_sample_spectral(sample0+s) (same RNG slots per
+    (pixel, sample, bounce)).  Forward only."""
+    from raymarchrenderer_tpu.core.spectral import wavelength_to_rgb
+    from raymarchrenderer_tpu.render.spectral_integrator import (
+        _apply_band, _lookup)
+
+    shape = jnp.shape(px)
+    e = eye_vec(corners)
+    eye = Vec3(jnp.broadcast_to(e.x, shape).astype(jnp.float32),
+               jnp.broadcast_to(e.y, shape).astype(jnp.float32),
+               jnp.broadcast_to(e.z, shape).astype(jnp.float32))
+    s0 = jnp.asarray(sample0).astype(jnp.uint32)
+    sky_min, sky_max, sky_p = 390.0, 830.0, jnp.float32(cfg.sky_power)
+    relax = cfg.relax_omega > 1.0
+
+    def primary(s_idx):
+        s = s0 + s_idx.astype(jnp.uint32)
+        rng = RNGStream(cfg.seed, px, py, s, jnp.uint32(1 << 20))
+        return primary_rays(corners, px, py, cfg.width, cfg.height, rng)
+
+    def march_step(st: _SpecState) -> _SpecState:
+        marching = st.state == _MARCH
+        p = st.o + st.d * st.t
+        dist = scene.map_dist(params, p, cfg.max_dist)
+        if relax:
+            fail = marching & (st.omega > 1.0) & (
+                dist + st.prev_r < st.step_len)
+        else:
+            fail = jnp.zeros(shape, bool)
+        is_hit = marching & ~fail & (dist < cfg.hit_eps)
+        steps = jnp.where(marching, st.steps + 1, st.steps)
+        is_miss = marching & ~fail & ~is_hit & (
+            (st.t >= cfg.max_dist) | (steps >= cfg.max_steps))
+        # both hit AND miss park for the shade pass: the sky is an emitter
+        # band filter that draws the same RNG slot as a surface would
+        hitm = jnp.where(is_hit, 1, jnp.where(is_miss, 0, st.hitm))
+        state = jnp.where(is_hit | is_miss, _WAIT, st.state)
+        still = marching & ~is_hit & ~is_miss
+        if relax:
+            new_len = jnp.where(fail, st.step_len * (1.0 - st.omega),
+                                dist * st.omega)
+            omega = jnp.where(fail, 1.0, st.omega)
+            prev_r = jnp.where(still, jnp.abs(dist), st.prev_r)
+            step_len = jnp.where(still, jnp.abs(new_len), st.step_len)
+            t = jnp.where(still, st.t + new_len, st.t)
+            return st._replace(t=t, hitm=hitm, state=state, steps=steps,
+                               omega=omega, prev_r=prev_r, step_len=step_len)
+        t = jnp.where(still, st.t + dist * cfg.step_multiply, st.t)
+        return st._replace(t=t, hitm=hitm, state=state, steps=steps)
+
+    def shade(st: _SpecState) -> _SpecState:
+        waiting = st.state == _WAIT
+        hit_b = st.hitm > 0
+        hitp = st.o + st.d * st.t
+        _, mid = scene.map(params, hitp, cfg.max_dist)
+        normal = get_normal(scene, params, cfg, hitp)
+        s_id = s0 + st.s_idx.astype(jnp.uint32)
+        rng = RNGStream(cfg.seed, px, py, s_id, st.bounce)
+        u = rng.next()
+        m_min, m_max, m_pow, m_kind = _lookup(mats, mid)
+        wl_h, pw_h, absorbed = _apply_band(st.wl, st.power, u,
+                                           m_min, m_max, m_pow)
+        wl_s, pw_s, _ = _apply_band(st.wl, st.power, u,
+                                    sky_min, sky_max, sky_p)
+        wl = jnp.where(waiting, jnp.where(hit_b, wl_h, wl_s), st.wl)
+        power = jnp.where(waiting, jnp.where(hit_b, pw_h, pw_s), st.power)
+        term = (hit_b & ((m_kind == 1) | absorbed)) | ~hit_b
+        bounce = jnp.where(waiting, st.bounce + 1, st.bounce)
+        done_now = term | (bounce >= cfg.max_bounces)
+        state = jnp.where(waiting,
+                          jnp.where(done_now, _REGEN, _MARCH), st.state)
+        new_dir = uniform_sphere_or_hemisphere(rng.next(), rng.next(),
+                                               normal)
+        o = vselect(waiting, hitp + normal * cfg.surface_offset, st.o)
+        d = vselect(waiting, new_dir, st.d)
+        t = jnp.where(waiting, 0.0, st.t)
+        steps = jnp.where(waiting, 0, st.steps)
+        st = st._replace(o=o, d=d, t=t, wl=wl, power=power, bounce=bounce,
+                         state=state, steps=steps)
+        return _reset_relax_spec(st, waiting) if relax else st
+
+    def regen(st: _SpecState) -> _SpecState:
+        pending = st.state == _REGEN
+        c = wavelength_to_rgb(st.wl) * st.power
+        acc = Vec3(st.acc.x + jnp.where(pending, c.x, 0.0),
+                   st.acc.y + jnp.where(pending, c.y, 0.0),
+                   st.acc.z + jnp.where(pending, c.z, 0.0))
+        s_idx = jnp.where(pending, st.s_idx + 1, st.s_idx)
+        exhausted = s_idx >= n_samples
+        state = jnp.where(pending,
+                          jnp.where(exhausted, _EXH, _MARCH), st.state)
+        d_new = primary(s_idx)
+        o = vselect(pending, eye, st.o)
+        d = vselect(pending, d_new, st.d)
+        wl = jnp.where(pending, 0.0, st.wl)
+        power = jnp.where(pending, 1.0, st.power)
+        t = jnp.where(pending, 0.0, st.t)
+        steps = jnp.where(pending, 0, st.steps)
+        bounce = jnp.where(pending, 0, st.bounce)
+        st = st._replace(o=o, d=d, t=t, wl=wl, power=power, acc=acc,
+                         bounce=bounce, s_idx=s_idx, state=state,
+                         steps=steps)
+        return _reset_relax_spec(st, pending) if relax else st
+
+    def _reset_relax_spec(st: _SpecState, mask) -> _SpecState:
+        return st._replace(
+            omega=jnp.where(mask, cfg.relax_omega, st.omega),
+            prev_r=jnp.where(mask, 0.0, st.prev_r),
+            step_len=jnp.where(mask, 0.0, st.step_len))
+
+    def parked_pass(st: _SpecState) -> _SpecState:
+        return regen(shade(st))
+
+    def body(st: _SpecState) -> _SpecState:
+        for _ in range(march_unroll):
+            st = march_step(st)
+        if shade_gate <= 0:
+            return parked_pass(st)
+        n_march = jnp.sum((st.state == _MARCH).astype(jnp.int32))
+        n_park = jnp.sum(((st.state == _WAIT)
+                          | (st.state == _REGEN)).astype(jnp.int32))
+        do_pass = (n_park > 0) & (
+            n_park.astype(jnp.float32) * jnp.float32(shade_gate)
+            >= n_march.astype(jnp.float32))
+        return lax.cond(do_pass, parked_pass, lambda s: s, st)
+
+    def cond(st: _SpecState):
+        return jnp.min(st.state) < _EXH
+
+    zero = jnp.zeros(shape, jnp.float32)
+    izero = jnp.zeros(shape, jnp.int32)
+    init = _SpecState(
+        o=eye, d=primary(izero), t=zero, wl=zero,
+        power=jnp.ones(shape, jnp.float32), acc=Vec3.zeros(shape),
+        hitm=izero, bounce=izero, s_idx=izero, state=izero, steps=izero,
+        omega=jnp.full(shape, max(cfg.relax_omega, 1.0), jnp.float32),
+        prev_r=zero, step_len=zero)
+    st0 = march_step(init)
+    out = lax.while_loop(cond, body, st0)
+    return out.acc

@@ -132,7 +132,8 @@ class TestFusedParity:
 
 
 class TestFusedSpectral:
-    def test_fused_spectral_matches_oracle(self):
+    @pytest.mark.parametrize("mode", ["wavefront", "mega"])
+    def test_fused_spectral_matches_oracle(self, mode):
         import numpy as np
 
         from raymarchrenderer_tpu.kernels.march import render_fused_spectral
@@ -145,6 +146,24 @@ class TestFusedSpectral:
         b = np.asarray(render_fused_spectral(scene, params, mats, cfg,
                                              _corners(), jnp.uint32(1),
                                              n_samples=1, block=BLOCK,
-                                             interpret=True))
+                                             interpret=True, mode=mode))
         d = np.abs(a - b)
         assert float((d > 1e-5).mean()) < 1e-3
+
+    def test_fused_spectral_mega_multisample(self):
+        import numpy as np
+
+        from raymarchrenderer_tpu.kernels.march import render_fused_spectral
+        from raymarchrenderer_tpu.render.spectral_integrator import (
+            render_sample_spectral, spectral_demo)
+        scene, params, mats = spectral_demo()
+        cfg = CFG.replace(max_bounces=3)
+        o = [np.asarray(render_sample_spectral(
+            scene, params, mats, cfg, _corners(), jnp.uint32(s)).stack(-1))
+            for s in (2, 3, 4)]
+        mean = sum(o) / 3.0
+        b = np.asarray(render_fused_spectral(scene, params, mats, cfg,
+                                             _corners(), jnp.uint32(2),
+                                             n_samples=3, block=BLOCK,
+                                             interpret=True, mode="mega"))
+        assert _frac_off(mean, b) < 1e-3

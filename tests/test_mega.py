@@ -45,6 +45,25 @@ def test_mega_bitwise_matches_oracle(sample):
     np.testing.assert_array_equal(a, b)
 
 
+def test_mega_spectral_bitwise_matches_oracle():
+    """Spectral megakernel (per-lane bounces + in-loop regen) == the gen-3
+    wavefront oracle, bitwise — same RNG slots per (pixel, sample, bounce)."""
+    from raymarchrenderer_tpu.render.raygen import pixel_grid
+    from raymarchrenderer_tpu.render.spectral_integrator import (
+        render_sample_spectral, spectral_demo)
+    scene, params, mats = spectral_demo()
+    cfg = CFG.replace(max_bounces=4)
+    corners = Camera(aspect=1.0).corner_rays_flat()
+    px, py = pixel_grid(cfg.width, cfg.height)
+    o = [np.asarray(render_sample_spectral(
+        scene, params, mats, cfg, corners, jnp.uint32(s)).stack(-1))
+        for s in (1, 2)]
+    fused = np.asarray(jax.jit(lambda p: mega.trace_mega_spectral(
+        scene, p, mats, cfg, corners, px, py, jnp.uint32(1), n_samples=2,
+        march_unroll=4).stack(-1))(params))
+    np.testing.assert_allclose(o[0] + o[1], fused, rtol=0, atol=1e-6)
+
+
 def test_mega_gate_invariant():
     """The shade gate is a pure scheduling knob — results are identical for
     any gate value."""
