@@ -35,7 +35,9 @@ oracle's per-sample sum in the same order, to the last ulp.  Tested in
 `tests/test_mega.py`.
 
 Used by `kernels/march.py` (`mode="mega"`) inside the fused Pallas kernel;
-also runs as plain jnp (CPU oracle / XLA fallback).
+also runs as plain jnp (CPU oracle / XLA fallback).  `trace_mega_spectral`
+is the gen-3 twin: the same schedule over (wavelength, power) lane state
+(`RayMarch3.glsl` transport), used by `render_fused_spectral`.
 """
 from __future__ import annotations
 
