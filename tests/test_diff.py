@@ -56,6 +56,27 @@ class TestMarchAdjoint:
         fd = (float(t_of(0.8 + eps)) - float(t_of(0.8 - eps))) / (2 * eps)
         np.testing.assert_allclose(g, fd, rtol=1e-2, atol=1e-3)
 
+    def test_relaxed_march_gradients(self):
+        """The relaxed march composes with the implicit adjoint: the VJP
+        only needs the (detached) hit point, not the step schedule."""
+        scene = single_sphere()
+        base = scene.init_params()
+        cfg = CFG.replace(relax_omega=1.9)
+
+        def t_of(r):
+            params = jax.tree.map(lambda x: x, base)
+            params["objects"][0][1] = jnp.full((3,), r, jnp.float32)
+            o = Vec3.full((1, 1), 0.0, 1.0, -5.0)
+            d = Vec3.full((1, 1), 0.0, 0.0, 1.0)
+            ones = jnp.ones((1, 1), jnp.float32)
+            active = jnp.ones((1, 1), bool)
+            t, _, _ = march_diff(scene, cfg, params, o, d, ones, active)
+            return t[0, 0]
+
+        assert abs(float(t_of(1.0)) - 4.0) < 0.05
+        g = jax.grad(t_of)(1.0)
+        assert abs(float(g) + 1.0) < 1e-3
+
     def test_miss_rays_zero_gradient(self):
         scene = single_sphere()
         base = scene.init_params()
