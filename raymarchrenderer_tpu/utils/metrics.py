@@ -82,24 +82,40 @@ def _primary_profile(scene: Scene, params, cfg: RenderConfig, corners,
     steps0 = jnp.zeros(shape, jnp.int32)
 
     def cond(s):
-        _, _, done, _, step = s
+        done, step = s[2], s[4]
         return (step < cfg.max_steps) & (jnp.min(done) < 1)
 
+    relax = cfg.relax_omega > 1.0
+    om0 = jnp.full(shape, max(cfg.relax_omega, 1.0), jnp.float32)
+    z = jnp.zeros(shape, jnp.float32)
+
     def body(s):
-        t, hitm, done, steps, step = s
+        t, hitm, done, steps, step, omega, prev_r, step_len = s
         p = o + d * t
         dist = scene.map_dist(params, p, cfg.max_dist)
         live = done < 1
-        is_hit = (dist < cfg.hit_eps) & live
-        is_miss = (t >= cfg.max_dist) & live & ~is_hit
+        if relax:
+            fail = live & (omega > 1.0) & (dist + prev_r < step_len)
+        else:
+            fail = jnp.zeros(shape, bool)
+        is_hit = (dist < cfg.hit_eps) & live & ~fail
+        is_miss = (t >= cfg.max_dist) & live & ~is_hit & ~fail
         hitm = hitm | is_hit.astype(jnp.int32)
         done = done | is_hit.astype(jnp.int32) | is_miss.astype(jnp.int32)
         steps = steps + live.astype(jnp.int32)
-        t = jnp.where(done > 0, t, t + dist * cfg.step_multiply)
-        return t, hitm, done, steps, step + 1
+        adv = live & (done < 1)
+        if relax:
+            new_len = jnp.where(fail, step_len * (1.0 - omega), dist * omega)
+            omega = jnp.where(fail, 1.0, omega)
+            prev_r = jnp.where(adv, jnp.abs(dist), prev_r)
+            step_len = jnp.where(adv, jnp.abs(new_len), step_len)
+            t = jnp.where(adv, t + new_len, t)
+        else:
+            t = jnp.where(adv, t + dist * cfg.step_multiply, t)
+        return t, hitm, done, steps, step + 1, omega, prev_r, step_len
 
-    _, hitm, _, steps, _ = jax.lax.while_loop(
-        cond, body, (t0, hit0, done0, steps0, jnp.int32(0)))
+    _, hitm, _, steps, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (t0, hit0, done0, steps0, jnp.int32(0), om0, z, z))
     return hitm, steps
 
 
