@@ -87,6 +87,27 @@ def test_tetrahedral_normals_match_central_diff():
     assert dot.min() > 0.9999, dot.min()
 
 
+def test_relaxed_glass_interior_march():
+    """Inside-marching (dist_mult = -1, refraction interiors) under
+    relaxation: the |signed distance| unbounding balls stay valid, so the
+    render agrees with the classic march."""
+    from raymarchrenderer_tpu.scene.builtin import glass_demo
+
+    scene = glass_demo()
+    params = scene.init_params()
+    corners = Camera(aspect=1.0).corner_rays_flat()
+    cfg = CFG.replace(max_bounces=8)
+    spp = 8
+    a = sum(np.asarray(render_sample(scene, params, cfg, corners,
+                                     jnp.uint32(s)).stack(-1))
+            for s in range(spp)) / spp
+    b = sum(np.asarray(render_sample(scene, params,
+                                     cfg.replace(relax_omega=1.6), corners,
+                                     jnp.uint32(s)).stack(-1))
+            for s in range(spp)) / spp
+    assert np.abs(a - b).mean() < 2e-2
+
+
 def test_relaxed_image_close_to_classic():
     """Converged-ish means agree: relaxation changes hit t by O(ε) only."""
     scene = sphere_on_floor()
