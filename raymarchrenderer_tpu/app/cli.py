@@ -59,7 +59,9 @@ def _config(args):
     return RenderConfig(
         width=args.width, height=args.height, spp=args.spp,
         max_steps=args.max_steps, max_bounces=args.max_bounces,
-        max_dist=args.max_dist, seed=args.seed)
+        max_dist=args.max_dist, seed=args.seed,
+        relax_omega=getattr(args, "relax", 0.0) or 0.0,
+        normal_taps=getattr(args, "normal_taps", 6))
 
 
 def _add_render_flags(p):
@@ -80,6 +82,16 @@ def _add_render_flags(p):
                         "reference's veranda_1k.hdr slot (Graphics.cpp:287)")
     p.add_argument("--direct-light", action="store_true",
                    help="next-event estimation / soft shadows")
+    p.add_argument("--spectral", action="store_true",
+                   help="gen-3 wavelength transport (RayMarch3.glsl); "
+                        "builtin sphere_on_floor uses the exact hardcoded "
+                        "gen-3 band table, other scenes a neutral one")
+    p.add_argument("--relax", type=float, default=0.0,
+                   help="over-relaxed sphere tracing omega (e.g. 1.9); "
+                        "0 = reference-parity stepMultiply=0.5 march")
+    p.add_argument("--normal-taps", type=int, choices=(4, 6), default=6,
+                   help="SDF normal estimator: 6 central-diff (parity) or "
+                        "4 tetrahedron (faster)")
     p.add_argument("--impl", choices=("auto", "fused", "oracle"),
                    default="auto",
                    help="fused Pallas kernel or pure-JAX oracle")
@@ -152,7 +164,33 @@ def cmd_render(args) -> int:
     t0 = time.perf_counter()
     n = n0
 
-    if impl == "fused":
+    if args.spectral:
+        from raymarchrenderer_tpu.render.spectral_integrator import (
+            default_band_table, render_spectral, spectral_demo)
+        if args.scene == "sphere_on_floor":
+            _, _, mats = spectral_demo()  # exact gen-3 hardcoded bands
+        else:
+            mats = default_band_table(scene)
+
+        def spectral_cb(s, state):
+            if args.checkpoint:
+                save_checkpoint(args.checkpoint, np.asarray(state[0]),
+                                float(state[1]), cfg)
+            el = time.perf_counter() - t0
+            print(f"  {s}/{cfg.spp} spp "
+                  f"({(s - n0) / max(el, 1e-9):.2f} spp/s)", flush=True)
+
+        if impl == "fused":
+            from raymarchrenderer_tpu.kernels.march import (
+                render_progressive_fused_spectral)
+            img, n = render_progressive_fused_spectral(
+                scene, params, mats, cfg, corners, spp=spp_left,
+                samples_per_launch=args.chunk, accum=accum, n0=n0,
+                callback=spectral_cb)
+        else:
+            img, n = render_spectral(scene, params, mats, cfg, corners,
+                                     spp=spp_left, accum=accum, n0=n0)
+    elif impl == "fused":
         from raymarchrenderer_tpu.kernels.march import render_progressive_fused
         done = int(n0)
         img = accum if accum is not None else jnp.zeros(

@@ -315,6 +315,34 @@ def render_progressive_fused(scene: Scene, params, cfg: RenderConfig,
     return accum, n
 
 
+def render_progressive_fused_spectral(scene: Scene, params, mats,
+                                      cfg: RenderConfig, corners,
+                                      spp: int = None,
+                                      samples_per_launch: int = 8,
+                                      accum=None, n0: float = 0.0,
+                                      interpret: bool = False,
+                                      callback=None):
+    """Progressive gen-3 spectral render via the fused megakernel —
+    resumable like `render_progressive_fused`.  Returns (image, n)."""
+    import jax.numpy as _jnp
+    spp = cfg.spp if spp is None else spp
+    if accum is None:
+        accum = _jnp.zeros((cfg.height, cfg.width, 3), _jnp.float32)
+    n = float(n0)
+    s = int(n0)
+    while s < int(n0) + spp:
+        k = min(samples_per_launch, int(n0) + spp - s)
+        chunk = render_fused_spectral(scene, params, mats, cfg, corners,
+                                      _jnp.uint32(s), n_samples=k,
+                                      interpret=interpret)
+        accum = (accum * n + chunk * k) / (n + k)
+        n += k
+        s += k
+        if callback is not None:
+            callback(s, (accum, n))
+    return accum, n
+
+
 def render_fused_spectral(scene: Scene, params, mats, cfg: RenderConfig,
                           corners, sample0, n_samples: int = 1,
                           block=(DEFAULT_BH, DEFAULT_BW),

@@ -179,6 +179,18 @@ def render_spectral(scene: Scene, params, mats: SpectralMaterials,
     return state[0], float(state[1])
 
 
+def default_band_table(scene: Scene) -> SpectralMaterials:
+    """A neutral gen-3-style band table for an arbitrary RGB scene:
+    emissive materials become 380–780 nm power-8 emitter bands
+    (`mat_func_0`, `RayMarch3.glsl:251-262`), everything else a
+    380–780 nm ×0.8 filter (`mat_func_1`).  The exact hardcoded gen-3
+    scene table is `spectral_demo`."""
+    rows = [(380.0, 780.0, 8.0, 1) if scene.is_emissive(i)
+            else (380.0, 780.0, 0.8, 0)
+            for i in range(len(scene.materials))]
+    return SpectralMaterials.table(rows)
+
+
 def spectral_demo():
     """The gen-3 hardcoded scene (`RayMarch3.glsl:132-143,251-345`):
     380–780 nm power-8 sphere emitter, 380–780 nm ×0.8 floor,
