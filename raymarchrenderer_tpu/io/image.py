@@ -1,4 +1,4 @@
-"""Image output: linear float accumulation → sRGB BMP/PNG, or raw NPY/EXR-ish.
+"""Image output: linear float accumulation → sRGB BMP/PNG, or float EXR/NPY.
 
 The reference saves the RGBA32F accumulation buffer as an sRGB-encoded BMP
 (`Graphics::SaveImage`, `Graphics.cpp:754-799`: glReadPixels → per-pixel
@@ -102,8 +102,110 @@ def save_png(path: str, img_linear: np.ndarray) -> None:
 
 
 def save_npy(path: str, img_linear: np.ndarray) -> None:
-    """Raw linear float32 — the lossless archival format (EXR stand-in)."""
+    """Raw linear float32 — lossless archival format."""
     np.save(path, np.asarray(img_linear, np.float32))
+
+
+def _exr_attr(name: bytes, typ: bytes, data: bytes) -> bytes:
+    return name + b"\x00" + typ + b"\x00" + struct.pack("<I", len(data)) + data
+
+
+def save_exr(path: str, img_linear: np.ndarray) -> None:
+    """OpenEXR 2.0 writer: single-part scanline, float32 B/G/R channels,
+    no compression, increasing-Y.  Linear radiance — the archival format
+    SURVEY.md §5 specifies (the reference only ever saved 8-bit BMP,
+    `Graphics.cpp:754-799`; EXR is the float-linear upgrade)."""
+    img = np.ascontiguousarray(np.asarray(img_linear, np.float32))
+    h, w, c = img.shape
+    assert c == 3, "save_exr expects (H, W, 3)"
+
+    # channel list, alphabetical (B, G, R), pixelType 2 = FLOAT
+    def chan(name: bytes) -> bytes:
+        return name + b"\x00" + struct.pack("<iBBBBii", 2, 0, 0, 0, 0, 1, 1)
+
+    chlist = chan(b"B") + chan(b"G") + chan(b"R") + b"\x00"
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header = (
+        struct.pack("<I", 20000630)       # magic
+        + struct.pack("<I", 2)            # version 2, no flags
+        + _exr_attr(b"channels", b"chlist", chlist)
+        + _exr_attr(b"compression", b"compression", b"\x00")  # NONE
+        + _exr_attr(b"dataWindow", b"box2i", box)
+        + _exr_attr(b"displayWindow", b"box2i", box)
+        + _exr_attr(b"lineOrder", b"lineOrder", b"\x00")      # increasing Y
+        + _exr_attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+        + _exr_attr(b"screenWindowCenter", b"v2f", struct.pack("<ff", 0, 0))
+        + _exr_attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+        + b"\x00")                        # end of header
+
+    row_bytes = 3 * 4 * w                 # 3 float32 channels per scanline
+    chunk_bytes = 8 + row_bytes           # y:int32 + size:int32 + data
+    table_pos = len(header)
+    data_pos = table_pos + 8 * h          # offset table: one uint64 per line
+    offsets = np.arange(h, dtype=np.uint64) * chunk_bytes + data_pos
+
+    # per-scanline chunk payload: B row, G row, R row (channel-planar)
+    bgr = img[:, :, ::-1]                 # (H, W, 3) → B,G,R channel order
+    planar = np.ascontiguousarray(np.transpose(bgr, (0, 2, 1)))  # (H, 3, W)
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(offsets.tobytes())
+        for y in range(h):
+            f.write(struct.pack("<ii", y, row_bytes))
+            f.write(planar[y].tobytes())
+
+
+def load_exr(path: str) -> np.ndarray:
+    """Decode the EXRs we write (uncompressed float32 scanline, RGB) →
+    (H, W, 3) linear float32."""
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, version = struct.unpack_from("<II", data, 0)
+    assert magic == 20000630, "not an EXR file"
+    assert version & 0xFF == 2 and not (version >> 8), "unsupported EXR flags"
+    pos = 8
+    channels, box = [], None
+    compression = 0
+    while data[pos] != 0:                 # attribute loop
+        end = data.index(b"\x00", pos)
+        name = data[pos:end]
+        pos = end + 1
+        end = data.index(b"\x00", pos)
+        typ = data[pos:end]
+        pos = end + 1
+        (size,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        body = data[pos:pos + size]
+        pos += size
+        if name == b"dataWindow":
+            box = struct.unpack("<iiii", body)
+        elif name == b"compression":
+            compression = body[0]
+        elif name == b"channels":
+            p = 0
+            while body[p] != 0:
+                e = body.index(b"\x00", p)
+                cname = body[p:e].decode()
+                (ptype,) = struct.unpack_from("<i", body, e + 1)
+                channels.append((cname, ptype))
+                p = e + 1 + 16
+    pos += 1                              # header terminator
+    assert compression == 0, "only uncompressed EXR supported"
+    assert all(t == 2 for _, t in channels), "only float32 channels supported"
+    w = box[2] - box[0] + 1
+    h = box[3] - box[1] + 1
+    offsets = np.frombuffer(data, np.uint64, h, pos)
+    names = [n for n, _ in channels]
+    out = np.zeros((h, len(names), w), np.float32)
+    for i, off in enumerate(offsets):
+        o = int(off)
+        y, size = struct.unpack_from("<ii", data, o)
+        row = np.frombuffer(data, np.float32, len(names) * w, o + 8)
+        out[y - box[1]] = row.reshape(len(names), w)
+    idx = [names.index(c) for c in ("R", "G", "B") if c in names]
+    if len(idx) == 3:
+        return np.ascontiguousarray(out[:, idx].transpose(0, 2, 1))
+    return np.ascontiguousarray(out.transpose(0, 2, 1))
 
 
 def save_image(path: str, img_linear: np.ndarray) -> None:
@@ -112,8 +214,10 @@ def save_image(path: str, img_linear: np.ndarray) -> None:
         save_bmp(path, img_linear)
     elif ext == ".png":
         save_png(path, img_linear)
-    elif ext in (".npy", ".exr"):
-        save_npy(path if ext == ".npy" else path + ".npy", img_linear)
+    elif ext == ".exr":
+        save_exr(path, img_linear)
+    elif ext == ".npy":
+        save_npy(path, img_linear)
     else:
         raise ValueError(f"unsupported image extension {ext}")
 

@@ -45,6 +45,31 @@ class TestImage:
         n = timestamp_name("bmp", datetime.datetime(2015, 7, 11, 1, 41, 3))
         assert n == "2015-07-11_01-41-03.bmp"  # Program.cpp:71-84 format
 
+    def test_exr_roundtrip_lossless(self, tmp_path):
+        from raymarchrenderer_tpu.io.image import load_exr, save_exr
+        p = str(tmp_path / "x.exr")
+        img = _gradient()
+        img[3, 5] = [1e-9, 4e6, -0.25]  # HDR + negative: float32 exact
+        save_exr(p, img)
+        back = load_exr(p)
+        np.testing.assert_array_equal(back, img)
+
+    def test_exr_header_wire_format(self, tmp_path):
+        from raymarchrenderer_tpu.io.image import save_exr
+        p = str(tmp_path / "x.exr")
+        save_exr(p, _gradient())
+        raw = open(p, "rb").read()
+        magic, version = struct.unpack_from("<II", raw, 0)
+        assert magic == 20000630 and version == 2
+        assert b"channels\x00chlist\x00" in raw
+        assert b"compression\x00compression\x00" in raw
+
+    def test_save_image_dispatch_exr(self, tmp_path):
+        from raymarchrenderer_tpu.io.image import load_exr, save_image
+        p = str(tmp_path / "y.exr")
+        save_image(p, _gradient())
+        np.testing.assert_array_equal(load_exr(p), _gradient())
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
