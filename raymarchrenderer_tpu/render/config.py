@@ -47,6 +47,13 @@ class RenderConfig:
     # O(ε²) accuracy, one third fewer map evals per shade).
     normal_taps: int = 6
     sky_power: float = 0.015       # RayMarch3.glsl:105 constant sky
+    # Russian-roulette path termination — the gen-2 kernel's continuation
+    # strategy (`RayMarch2.glsl:480-501`): from this bounce on, a path
+    # survives with probability p = clip(max throughput component,
+    # rr_min_prob, 1) and its throughput is divided by p (unbiased).
+    # -1 disables (default — gen-1/gen-3 semantics trace every bounce).
+    rr_start_bounce: int = -1
+    rr_min_prob: float = 0.05
     seed: int = 0
     # tile grid: retained for scheduler parity / progressive preview chunking
     grid_width: int = 4

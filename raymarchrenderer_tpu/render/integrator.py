@@ -276,6 +276,20 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
                 scene, params, cfg, hitp, normal, st.color, s.color,
                 rng.fork(7), hit_active & ~term)
 
+        if cfg.rr_start_bounce >= 0:
+            # Russian roulette (`RayMarch2.glsl:480-501` semantics): a
+            # continuing path survives with p = clip(max throughput, pmin, 1);
+            # survivors carry throughput/p, casualties contribute nothing
+            # (their radiance would have come from a later emission event).
+            p = jnp.clip(jnp.maximum(color.x, jnp.maximum(color.y, color.z)),
+                         cfg.rr_min_prob, 1.0)
+            u = rng.fork(13).next()
+            do_rr = jnp.logical_and(active, b >= cfg.rr_start_bounce)
+            kill = do_rr & (u >= p)
+            scale = jnp.where(do_rr & ~kill, 1.0 / p, 1.0)
+            color = vselect(kill, Vec3.zeros(shape), color * scale)
+            active = active & ~kill
+
         override = (s.hit.x != 0.0) | (s.hit.y != 0.0) | (s.hit.z != 0.0)
         off = jnp.where(new_inside_b, -cfg.inside_offset, cfg.exit_offset)
         o_next = vselect(override, s.hit, hitp + normal * off)
