@@ -11,14 +11,18 @@ ratio against the self-defined round-0 target of 1.0 Mpix·spp/s/chip — a
 
 Env knobs: BENCH_SIZE (default 1024), BENCH_SPP (default 128 — the
 reference GUI default, all samples in ONE megakernel launch with in-loop
-path regeneration), BENCH_IMPL=oracle|pallas (default pallas on TPU),
-BENCH_RELAX (default 1.9 — safeguarded over-relaxed sphere tracing; set 0
-for the reference's classic stepMultiply=0.5 march), BENCH_NORMAL_TAPS
-(default 4 — tetrahedron-difference normals; set 6 for reference-parity
-central differences).  The accelerated march/normals produce the same hit
-set and O(ε)-identical images (tests/test_relax.py); the workload —
-scene, resolution, spp, bounce/step budgets — is the reference default
-either way.
+path regeneration), BENCH_MODE=spectral|rgb (default spectral — the
+reference's ACTIVE kernel is the gen-3 spectral tracer, and the spectral
+megakernel's smaller lane state also makes it the fastest path; rgb runs
+the gen-1/gen-2-style RGB-throughput transport over the same geometry),
+BENCH_IMPL=oracle|pallas (default pallas on TPU), BENCH_RELAX (default
+1.9 — safeguarded over-relaxed sphere tracing; set 0 for the reference's
+classic stepMultiply=0.5 march), BENCH_NORMAL_TAPS (default 0 — exact
+∇map normals via one vjp sweep; 4 = tetrahedron stencil, 6 =
+reference-parity central differences).  The accelerated march/normals
+produce the same hit set and O(ε)-identical images (tests/test_relax.py);
+the workload — scene, resolution, spp, bounce/step budgets — is the
+reference default either way.
 """
 from __future__ import annotations
 
@@ -42,7 +46,8 @@ def main():
     from raymarchrenderer_tpu.scene.builtin import sphere_on_floor
 
     relax = float(os.environ.get("BENCH_RELAX", "1.9"))
-    taps = int(os.environ.get("BENCH_NORMAL_TAPS", "4"))
+    taps = int(os.environ.get("BENCH_NORMAL_TAPS", "0"))
+    mode = os.environ.get("BENCH_MODE", "spectral")
     scene = sphere_on_floor()
     params = scene.init_params()
     cfg = RenderConfig(width=size, height=size, relax_omega=relax,
@@ -51,17 +56,22 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     use_pallas = impl == "pallas" or (impl == "auto" and on_tpu)
-    if use_pallas:
-        try:
-            from raymarchrenderer_tpu.kernels.march import render_fused
-            # one launch, in-kernel spp loop (megakernel mode): samples
-            # accumulate in VMEM, HBM sees one write per tile
-            step = jax.jit(lambda p, c, s: render_fused(
-                scene, p, cfg, c, s, n_samples=spp))
-            impl = "pallas-mega"
-        except Exception:
-            use_pallas = False
-    if not use_pallas:
+    if use_pallas and mode == "spectral":
+        from raymarchrenderer_tpu.kernels.march import render_fused_spectral
+        from raymarchrenderer_tpu.render.spectral_integrator import (
+            spectral_demo)
+        scene, params, mats = spectral_demo()
+        step = jax.jit(lambda p, c, s: render_fused_spectral(
+            scene, p, mats, cfg, c, s, n_samples=spp))
+        impl = "pallas-mega-spectral"
+    elif use_pallas:
+        from raymarchrenderer_tpu.kernels.march import render_fused
+        # one launch, in-kernel spp loop (megakernel mode): samples
+        # accumulate in VMEM, HBM sees one write per tile
+        step = jax.jit(lambda p, c, s: render_fused(
+            scene, p, cfg, c, s, n_samples=spp))
+        impl = "pallas-mega"
+    else:
         from raymarchrenderer_tpu.render.integrator import render_sample
         step = jax.jit(lambda p, c, s: render_sample(
             scene, p, cfg, c, s).stack(-1))

@@ -141,10 +141,19 @@ def get_normal(scene: Scene, params, cfg: RenderConfig, p: Vec3) -> Vec3:
     Default (`normal_taps=6`): central differences — parity with
     `getNormal` (`RayMarch.glsl:259-268`; ε = 0.001).
     Opt-in (`normal_taps=4`): tetrahedron differences (same O(ε²) accuracy,
-    4 map evals instead of 6 — the standard SDF-renderer trick)."""
+    4 map evals instead of 6 — the standard SDF-renderer trick).
+    Opt-in (`normal_taps=0`): the EXACT SDF gradient ∇map via one
+    reverse-mode sweep (`jax.vjp`) — the ε→0 limit of both stencils at
+    ~2 map-eval cost (the scene map is elementwise jnp, so the vjp
+    legalizes inside the Pallas kernel like any other traced code)."""
     e = cfg.normal_eps
     md = lambda q: scene.map_dist(params, q, cfg.max_dist)  # noqa: E731
     shape = jnp.shape(p.x)
+    if cfg.normal_taps == 0:
+        f = lambda x, y, z: md(Vec3(x, y, z))  # noqa: E731
+        _, pull = jax.vjp(f, p.x, p.y, p.z)
+        gx, gy, gz = pull(jnp.ones(shape, jnp.float32))
+        return Vec3(gx, gy, gz).normalized()
     if cfg.normal_taps == 4:
         n = Vec3.zeros(shape)
         for kx, ky, kz in ((1.0, -1.0, -1.0), (-1.0, -1.0, 1.0),

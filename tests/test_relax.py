@@ -87,6 +87,46 @@ def test_tetrahedral_normals_match_central_diff():
     assert dot.min() > 0.9999, dot.min()
 
 
+def test_grad_normals_match_central_diff():
+    """normal_taps=0 (exact ∇map via one vjp sweep) agrees with the 6-tap
+    central difference to O(ε²) at hit points — it is the stencils' ε→0
+    limit, at ~2 map-eval cost inside the shade pass."""
+    from raymarchrenderer_tpu.render.integrator import get_normal
+
+    scene = sphere_on_floor()
+    params, o, d, ones = _primary(scene, CFG)
+    t, m, h = march(scene, params, CFG, o, d, ones, ones > 0)
+    p = o + d * t
+    n6 = get_normal(scene, params, CFG, p)
+    n0 = get_normal(scene, params, CFG.replace(normal_taps=0), p)
+    dot = np.asarray(n6.dot(n0))[np.asarray(h)]
+    assert dot.min() > 0.9999, dot.min()
+    # unit length
+    ln = np.asarray(n0.dot(n0))[np.asarray(h)]
+    np.testing.assert_allclose(ln, 1.0, atol=1e-5)
+
+
+def test_grad_normals_through_fused_kernel():
+    """The vjp-based normal legalizes inside the Pallas kernel (interpret
+    backend) and renders a finite image close to the 4-tap one."""
+    from raymarchrenderer_tpu.kernels.march import render_fused
+
+    scene = sphere_on_floor()
+    params = scene.init_params()
+    corners = Camera(aspect=1.0).corner_rays_flat()
+    cfg = CFG.replace(width=64, height=64, relax_omega=1.9)
+    a = np.asarray(render_fused(scene, params, cfg.replace(normal_taps=4),
+                                corners, jnp.uint32(0), n_samples=4,
+                                interpret=True))
+    b = np.asarray(render_fused(scene, params, cfg.replace(normal_taps=0),
+                                corners, jnp.uint32(0), n_samples=4,
+                                interpret=True))
+    assert np.isfinite(b).all()
+    # same paths except where an O(ε²) normal tweak flips a bounce: the
+    # mean must stay put even if isolated pixels diverge (MC variance)
+    assert np.abs(a - b).mean() < 5e-3, np.abs(a - b).mean()
+
+
 def test_relaxed_glass_interior_march():
     """Inside-marching (dist_mult = -1, refraction interiors) under
     relaxation: the |signed distance| unbounding balls stay valid, so the
