@@ -17,9 +17,9 @@ megakernel's smaller lane state also makes it the fastest path; rgb runs
 the gen-1/gen-2-style RGB-throughput transport over the same geometry),
 BENCH_IMPL=oracle|pallas (default pallas on TPU), BENCH_RELAX (default
 1.9 — safeguarded over-relaxed sphere tracing; set 0 for the reference's
-classic stepMultiply=0.5 march), BENCH_NORMAL_TAPS (default 0 — exact
-∇map normals via one vjp sweep; 4 = tetrahedron stencil, 6 =
-reference-parity central differences).  The accelerated march/normals
+classic stepMultiply=0.5 march), BENCH_NORMAL_TAPS (default 4 —
+tetrahedron stencil, the measured optimum on this cheap scene map; 0 =
+exact ∇map via one vjp sweep, 6 = reference-parity central differences).  The accelerated march/normals
 produce the same hit set and O(ε)-identical images (tests/test_relax.py);
 the workload — scene, resolution, spp, bounce/step budgets — is the
 reference default either way.
@@ -46,7 +46,7 @@ def main():
     from raymarchrenderer_tpu.scene.builtin import sphere_on_floor
 
     relax = float(os.environ.get("BENCH_RELAX", "1.9"))
-    taps = int(os.environ.get("BENCH_NORMAL_TAPS", "0"))
+    taps = int(os.environ.get("BENCH_NORMAL_TAPS", "4"))
     mode = os.environ.get("BENCH_MODE", "spectral")
     scene = sphere_on_floor()
     params = scene.init_params()

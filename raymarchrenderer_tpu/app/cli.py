@@ -89,7 +89,7 @@ def _add_render_flags(p):
     p.add_argument("--relax", type=float, default=0.0,
                    help="over-relaxed sphere tracing omega (e.g. 1.9); "
                         "0 = reference-parity stepMultiply=0.5 march")
-    p.add_argument("--normal-taps", type=int, choices=(4, 6), default=6,
+    p.add_argument("--normal-taps", type=int, choices=(0, 4, 6), default=6,
                    help="SDF normal estimator: 6 central-diff (parity) or "
                         "4 tetrahedron (faster)")
     p.add_argument("--impl", choices=("auto", "fused", "oracle"),
@@ -301,7 +301,9 @@ def cmd_repl(args) -> int:
                     max_steps=512, max_bounces=16, max_dist=1000.0, seed=0,
                     eye=None, look_at=None, fov=None, direct_light=False,
                     impl="auto", out="/tmp/_repl_render.png",
-                    checkpoint=None, resume=False, chunk=8, cpu=False)
+                    checkpoint=None, resume=False, chunk=8, cpu=False,
+                    env_map=None, metrics=None, profile=None,
+                    spectral=False)
                 cmd_render(ns)
                 state["img"] = "/tmp/_repl_render.png"
             elif verb == "save":

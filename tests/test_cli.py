@@ -1,0 +1,57 @@
+"""CLI frontend tests — the reference-REPL verbs (`CLI.cpp:95-219`) driven
+end-to-end through `cmd_repl`, plus argument plumbing regressions."""
+import argparse
+import io
+import os
+import sys
+
+import numpy as np
+
+
+def test_repl_render_and_save(tmp_path, monkeypatch, capsys):
+    """The reference REPL session: set samples/size, render, save.
+    Regression: the repl's `render` Namespace must carry every attribute
+    `cmd_render` reads (metrics/profile/env_map/spectral were missing)."""
+    from raymarchrenderer_tpu.app import cli
+
+    out = tmp_path / "repl.png"
+    monkeypatch.setattr(sys, "stdin", io.StringIO(
+        "samples 1\n"
+        "image_width 32\n"
+        "image_height 32\n"
+        "grid_width 2\n"
+        "grid_height 2\n"
+        "render\n"
+        f"save {out}\n"
+        "bogus_verb 1\n"
+        "quit\n"))
+    rc = cli.cmd_repl(argparse.Namespace())
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 0
+    text = capsys.readouterr().out
+    assert "unknown verb: bogus_verb" in text
+
+
+def test_repl_save_before_render(monkeypatch, capsys):
+    from raymarchrenderer_tpu.app import cli
+
+    monkeypatch.setattr(sys, "stdin", io.StringIO("save\nquit\n"))
+    assert cli.cmd_repl(argparse.Namespace()) == 0
+    assert "nothing rendered" in capsys.readouterr().out
+
+
+def test_render_subcommand_writes_image(tmp_path):
+    """`raymarch render` end-to-end through the argparse front door."""
+    from raymarchrenderer_tpu.app import cli
+
+    out = tmp_path / "cli.png"
+    rc = cli.main(["render", "--scene", "sphere_on_floor",
+                   "--width", "32", "--height", "32", "--spp", "1",
+                   "--max-steps", "64", "--max-bounces", "2",
+                   "--out", str(out)])
+    assert rc == 0
+    assert out.exists()
+    from raymarchrenderer_tpu.io.image import load_png
+    img = load_png(str(out))
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
