@@ -61,6 +61,11 @@ _MARCH = 0   # sphere-tracing the current ray segment
 _WAIT = 1    # hit found, parked until the next shade pass
 _REGEN = 2   # path finished, parked until the pass banks it / respawns
 _EXH = 3     # all samples done
+# spectral only: a parked MISS (the sky is an emitter band, so misses also
+# go through the shade pass).  Negative so `min(state) < _EXH` still means
+# "some lane alive" — encoding hit/miss in the state drops the separate
+# `hitm` carry and its per-step select.
+_WAIT_MISS = -1
 
 
 class _MegaState(NamedTuple):
@@ -121,7 +126,9 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         else:
             fail = jnp.zeros(jnp.shape(st.t), bool)
         is_hit = marching & ~fail & (dist < cfg.hit_eps)
-        steps = jnp.where(marching, st.steps + 1, st.steps)
+        # unconditional: only marching lanes' counts are read (is_miss is
+        # masked by `marching`) and every MARCH transition resets to 0
+        steps = st.steps + 1
         # miss on the PRE-step t (parity with `march`, RayMarch.glsl:233-257)
         # or on step-budget exhaustion (march loop falling off the end).
         is_miss = marching & ~fail & ~is_hit & (
@@ -253,15 +260,16 @@ def trace_mega(scene: Scene, params, cfg: RenderConfig, corners,
 class _SpecState(NamedTuple):
     """Megakernel lane state for the gen-3 spectral transport
     (`RayMarch3.glsl:347-444`): per-path wavelength + scalar power instead
-    of RGB throughput, plus a hit/miss flag (the sky is an emitter band, so
-    misses also go through the shade pass — same RNG slots as the oracle)."""
+    of RGB throughput.  Parked hits are `_WAIT`, parked misses
+    `_WAIT_MISS` (the sky is an emitter band, so misses also go through
+    the shade pass — same RNG slots as the oracle); encoding the event in
+    the state saves a dedicated hit/miss carry."""
     o: Vec3
     d: Vec3
     t: jax.Array
     wl: jax.Array      # wavelength (nm; 0 == unset)
     power: jax.Array   # scalar path power
     acc: Vec3          # banked RGB splat sum over finished samples
-    hitm: jax.Array    # int32: parked event was a hit (1) or a miss (0)
     bounce: jax.Array
     s_idx: jax.Array
     state: jax.Array
@@ -307,13 +315,16 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
         else:
             fail = jnp.zeros(shape, bool)
         is_hit = marching & ~fail & (dist < cfg.hit_eps)
-        steps = jnp.where(marching, st.steps + 1, st.steps)
+        # unconditional: only marching lanes' counts are read (is_miss is
+        # masked by `marching`), and every MARCH transition resets to 0,
+        # so dropping the select is exact
+        steps = st.steps + 1
         is_miss = marching & ~fail & ~is_hit & (
             (st.t >= cfg.max_dist) | (steps >= cfg.max_steps))
         # both hit AND miss park for the shade pass: the sky is an emitter
         # band filter that draws the same RNG slot as a surface would
-        hitm = jnp.where(is_hit, 1, jnp.where(is_miss, 0, st.hitm))
-        state = jnp.where(is_hit | is_miss, _WAIT, st.state)
+        state = jnp.where(is_hit, _WAIT,
+                          jnp.where(is_miss, _WAIT_MISS, st.state))
         still = marching & ~is_hit & ~is_miss
         if relax:
             new_len = jnp.where(fail, st.step_len * (1.0 - st.omega),
@@ -322,14 +333,14 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
             prev_r = jnp.where(still, jnp.abs(dist), st.prev_r)
             step_len = jnp.where(still, jnp.abs(new_len), st.step_len)
             t = jnp.where(still, st.t + new_len, st.t)
-            return st._replace(t=t, hitm=hitm, state=state, steps=steps,
+            return st._replace(t=t, state=state, steps=steps,
                                omega=omega, prev_r=prev_r, step_len=step_len)
         t = jnp.where(still, st.t + dist * cfg.step_multiply, st.t)
-        return st._replace(t=t, hitm=hitm, state=state, steps=steps)
+        return st._replace(t=t, state=state, steps=steps)
 
     def shade(st: _SpecState) -> _SpecState:
-        waiting = st.state == _WAIT
-        hit_b = st.hitm > 0
+        waiting = (st.state == _WAIT) | (st.state == _WAIT_MISS)
+        hit_b = st.state == _WAIT
         hitp = st.o + st.d * st.t
         _, mid = scene.map(params, hitp, cfg.max_dist)
         normal = get_normal(scene, params, cfg, hitp)
@@ -411,7 +422,7 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
     init = _SpecState(
         o=eye, d=primary(izero), t=zero, wl=zero,
         power=jnp.ones(shape, jnp.float32), acc=Vec3.zeros(shape),
-        hitm=izero, bounce=izero, s_idx=izero, state=izero, steps=izero,
+        bounce=izero, s_idx=izero, state=izero, steps=izero,
         omega=jnp.full(shape, max(cfg.relax_omega, 1.0), jnp.float32),
         prev_r=zero, step_len=zero)
     st0 = march_step(init)

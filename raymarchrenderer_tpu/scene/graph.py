@@ -196,11 +196,19 @@ class Scene:
     def map_dist(self, params: dict, p: Vec3, max_dist: float):
         """Distance-only map: skips the per-object material-id selects —
         the march hot loop only needs the id at the hit point, where one
-        full `map` eval recovers it (kernels and normals use this)."""
-        shape = jnp.shape(p.x)
-        d = jnp.full(shape, max_dist, jnp.float32)
-        for oi, obj in enumerate(self.objects):
-            di = _eval_object(obj, params["objects"][oi], p)
+        full `map` eval recovers it (kernels and normals use this).
+
+        The running min seeds from object 0's distance, NOT a `max_dist`
+        splat — one fewer `minimum` per eval on the hottest op in the
+        renderer.  Beyond-max_dist distances stay unclamped; the march's
+        pre-step `t >= max_dist` miss test (`RayMarch.glsl:233-257`
+        semantics) bounds the walk either way, so hit points and images
+        are unchanged."""
+        if not self.objects:
+            return jnp.full(jnp.shape(p.x), max_dist, jnp.float32)
+        d = _eval_object(self.objects[0], params["objects"][0], p)
+        for oi in range(1, len(self.objects)):
+            di = _eval_object(self.objects[oi], params["objects"][oi], p)
             d = jnp.minimum(d, di)
         return d
 
