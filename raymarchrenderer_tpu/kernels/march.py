@@ -109,11 +109,14 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
         inv = 1.0 / float(n_samples)
         if mode == "mega":
             # single trace with in-loop sample regeneration: straggler
-            # cost amortizes over all n_samples (render.mega)
+            # cost amortizes over all n_samples (render.mega); dispersion
+            # (`separateChannels`, RayMarch.glsl:580-598) folds the channel
+            # into the same regeneration loop — 3 one-hot paths per sample
             c = trace_mega_paths(scene, params, cfg, corners, px, py, s0,
                                  channels, n_samples=n_samples,
                                  shade_gate=shade_gate,
-                                 march_unroll=march_unroll)
+                                 march_unroll=march_unroll,
+                                 dispersion=cfg.separate_channels)
             out_r[:] = c.x * inv
             out_g[:] = c.y * inv
             out_b[:] = c.z * inv
@@ -137,8 +140,19 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
             s = s0 + jnp.asarray(k).astype(jnp.uint32)
             rng = RNGStream(cfg.seed, px, py, s, jnp.uint32(1 << 20))
             d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
-            c = trace_rgb(scene, params, cfg, eye, d, px, py, s,
-                          channels, direct_light)
+            if cfg.separate_channels:
+                # dispersion: R, G, B traced as independent one-hot paths
+                # sharing s's primary ray — same keying as render_patch
+                c = Vec3.zeros((bh, bw))
+                for ci, mask in enumerate(((1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                                           (0.0, 0.0, 1.0))):
+                    ch = Vec3.full((bh, bw), *mask)
+                    s_id = s * jnp.uint32(4) + jnp.uint32(ci + 1)
+                    c = c + trace_rgb(scene, params, cfg, eye, d, px, py,
+                                      s_id, ch, direct_light)
+            else:
+                c = trace_rgb(scene, params, cfg, eye, d, px, py, s,
+                              channels, direct_light)
             ar, ag, ab = acc
             return (ar + c.x, ag + c.y, ab + c.z)
 
@@ -174,6 +188,11 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
     `interpret=True` runs the Pallas interpreter (CPU test path — the
     "fake backend" of SURVEY.md §4 item 2)."""
     defer_sky = scene.has_env_map
+    if defer_sky and cfg.separate_channels:
+        raise NotImplementedError(
+            "env-map + dispersion in the fused kernel would need 3x miss-"
+            "event planes; render via the oracle (render.integrator) which "
+            "handles both")
     if mode == "auto":
         # megakernel is the fast path; NEE shadow marches are
         # bounce-synchronous and env-map miss events are per-sample, so

@@ -90,21 +90,54 @@ class _MegaState(NamedTuple):
 def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
                      px, py, sample0, channels: Vec3, n_samples: int = 1,
                      shade_gate: float = 32.0,
-                     march_unroll: int = 1) -> Vec3:
+                     march_unroll: int = 1,
+                     dispersion: bool = False) -> Vec3:
     """Sum of `n_samples` samples per pixel (regenerated in-loop), equal to
     Σ_s trace_rgb(sample0+s) to float32 rounding.  Forward only —
     `lax.while_loop` has no transpose; use `trace_rgb(differentiable=True)`
-    for gradients."""
+    for gradients.
+
+    `dispersion=True` restates the gen-1 `separateChannels` mode
+    (`RayMarch.glsl:580-598`) inside the megakernel: the lane's path counter
+    enumerates (sample, channel) pairs — 3·n_samples paths per pixel — with
+    the channel folded into the regeneration loop.  Channel ci of sample s
+    shares s's primary ray (dispersion splits at the first chromatic
+    interaction, not at the camera) and draws the shade stream
+    `s·4 + ci + 1`, exactly the oracle's keying
+    (`render.integrator.render_patch`), so the accumulated sum equals the
+    oracle's per-channel sum up to float32 re-association (the oracle adds
+    R+G+B per sample before banking; here each channel banks separately)."""
     shape = jnp.shape(px)
     e = eye_vec(corners)
     eye = Vec3(jnp.broadcast_to(e.x, shape).astype(jnp.float32),
                jnp.broadcast_to(e.y, shape).astype(jnp.float32),
                jnp.broadcast_to(e.z, shape).astype(jnp.float32))
     s0 = jnp.asarray(sample0).astype(jnp.uint32)
+    n_paths = n_samples * 3 if dispersion else n_samples
+
+    if dispersion:
+        def lane_streams(s_idx):
+            """(primary stream, shade stream) for path counter s_idx."""
+            samp = s0 + (s_idx // 3).astype(jnp.uint32)
+            ci = (s_idx % 3).astype(jnp.uint32)
+            return samp, samp * jnp.uint32(4) + ci + jnp.uint32(1)
+
+        def lane_channels(s_idx):
+            ci = s_idx % 3
+            return Vec3((ci == 0).astype(jnp.float32),
+                        (ci == 1).astype(jnp.float32),
+                        (ci == 2).astype(jnp.float32))
+    else:
+        def lane_streams(s_idx):
+            s = s0 + s_idx.astype(jnp.uint32)
+            return s, s
+
+        def lane_channels(s_idx):
+            return channels
 
     def primary(s_idx):
-        s = s0 + s_idx.astype(jnp.uint32)
-        rng = RNGStream(cfg.seed, px, py, s, jnp.uint32(1 << 20))
+        s_prim, _ = lane_streams(s_idx)
+        rng = RNGStream(cfg.seed, px, py, s_prim, jnp.uint32(1 << 20))
         return primary_rays(corners, px, py, cfg.width, cfg.height, rng)
 
     relax = cfg.relax_omega > 1.0
@@ -156,10 +189,10 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         hitp = st.o + st.d * st.t
         _, mid = scene.map(params, hitp, cfg.max_dist)
         normal = get_normal(scene, params, cfg, hitp)
-        s_id = s0 + st.s_idx.astype(jnp.uint32)
+        _, s_id = lane_streams(st.s_idx)
         rng = RNGStream(cfg.seed, px, py, s_id, st.bounce)
-        ctx = ShadeCtx(st.o, st.d, st.t, hitp, st.inside, normal, channels,
-                       rng)
+        ctx = ShadeCtx(st.o, st.d, st.t, hitp, st.inside, normal,
+                       lane_channels(st.s_idx), rng)
         s = scene.shade(params, ctx, mid)
         thr = vselect(waiting, st.thr * s.color, st.thr)
         new_inside_b = s.inside.x > 0.5
@@ -188,13 +221,13 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
                    st.acc.y + jnp.where(pending, st.thr.y, 0.0),
                    st.acc.z + jnp.where(pending, st.thr.z, 0.0))
         s_idx = jnp.where(pending, st.s_idx + 1, st.s_idx)
-        exhausted = s_idx >= n_samples
+        exhausted = s_idx >= n_paths
         state = jnp.where(pending,
                           jnp.where(exhausted, _EXH, _MARCH), st.state)
         d_new = primary(s_idx)
         o = vselect(pending, eye, st.o)
         d = vselect(pending, d_new, st.d)
-        thr = vselect(pending, channels, st.thr)
+        thr = vselect(pending, lane_channels(s_idx), st.thr)
         t = jnp.where(pending, 0.0, st.t)
         steps = jnp.where(pending, 0, st.steps)
         bounce = jnp.where(pending, 0, st.bounce)
@@ -236,7 +269,8 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
     zero = jnp.zeros(shape, jnp.float32)
     izero = jnp.zeros(shape, jnp.int32)
     init = _MegaState(
-        o=eye, d=primary(izero), t=zero, thr=channels, acc=Vec3.zeros(shape),
+        o=eye, d=primary(izero), t=zero, thr=lane_channels(izero),
+        acc=Vec3.zeros(shape),
         inside=zero, bounce=izero, s_idx=izero, state=izero, steps=izero,
         omega=jnp.full(shape, max(cfg.relax_omega, 1.0), jnp.float32),
         prev_r=zero, step_len=zero)

@@ -131,6 +131,62 @@ class TestFusedParity:
                          jnp.uint32(0), block=BLOCK, interpret=True)
 
 
+class TestFusedDispersion:
+    """`separate_channels` (gen-1 dispersion, `RayMarch.glsl:580-598`)
+    inside the fused kernel: mega mode folds the channel into the
+    path-regeneration loop (3 one-hot paths per sample); wavefront loops
+    the three traces per sample.  Both share the sample's primary ray and
+    draw shade stream s·4+ci+1 — the oracle's exact keying."""
+
+    def test_mega_single_sample_bitwise(self):
+        scene = builtin.glass_demo()
+        params = scene.init_params()
+        cfg = CFG.replace(separate_channels=True)
+        oracle = render_sample(scene, params, cfg, _corners(),
+                               jnp.uint32(2)).stack(-1)
+        fused = render_fused(scene, params, cfg, _corners(), jnp.uint32(2),
+                             n_samples=1, block=BLOCK, interpret=True,
+                             mode="mega")
+        # single sample banks R, G, B in the oracle's association order
+        np.testing.assert_array_equal(np.asarray(oracle), np.asarray(fused))
+
+    def test_mega_multi_sample(self):
+        scene = builtin.glass_demo()
+        params = scene.init_params()
+        cfg = CFG.replace(separate_channels=True)
+        o = [render_sample(scene, params, cfg, _corners(),
+                           jnp.uint32(s)).stack(-1) for s in (1, 2, 3)]
+        mean = sum(np.asarray(x) for x in o) / 3.0
+        fused = render_fused(scene, params, cfg, _corners(), jnp.uint32(1),
+                             n_samples=3, block=BLOCK, interpret=True,
+                             mode="mega")
+        # multi-sample banking re-associates the float32 sum
+        assert _frac_off(mean, fused) < 1e-3
+
+    def test_wavefront_single_sample_bitwise(self):
+        scene = builtin.glass_demo()
+        params = scene.init_params()
+        cfg = CFG.replace(separate_channels=True)
+        oracle = render_sample(scene, params, cfg, _corners(),
+                               jnp.uint32(0)).stack(-1)
+        fused = render_fused(scene, params, cfg, _corners(), jnp.uint32(0),
+                             n_samples=1, block=BLOCK, interpret=True,
+                             mode="wavefront")
+        np.testing.assert_array_equal(np.asarray(oracle), np.asarray(fused))
+
+    def test_env_map_dispersion_raises(self):
+        img = np.ones((4, 8, 3), np.float32)
+        b = builtin.SceneBuilder()
+        m = b.diffuse([0.5, 0.5, 0.5])
+        b.sphere(m, [0.0, 1.0, 0.0], 1.0)
+        scene = b.build(env_image=img)
+        params = scene.init_params()
+        cfg = CFG.replace(separate_channels=True)
+        with pytest.raises(NotImplementedError):
+            render_fused(scene, params, cfg, _corners(), jnp.uint32(0),
+                         n_samples=1, block=BLOCK, interpret=True)
+
+
 class TestFusedSpectral:
     @pytest.mark.parametrize("mode", ["wavefront", "mega"])
     def test_fused_spectral_matches_oracle(self, mode):
