@@ -49,7 +49,11 @@ def _march_fwd(scene, cfg, params, o, d, dist_mult, active):
     return (t, mid, hitm), (params, o, d, t, hitm & active)
 
 
-def _march_bwd(scene, cfg, res, cots):
+def _implicit_bwd(scene, cfg, res, cots):
+    """Shared implicit-function backward: one SDF VJP at the detached hit
+    point.  Used by both the oracle (`march_diff`) and the Pallas
+    (`march_diff_fused`) forward passes — the adjoint only needs
+    (params, o, d, t, valid), not the march trajectory."""
     params, o, d, t, valid = res
     t_bar = cots[0]  # mid/hit cotangents are float0 (int/bool outputs)
 
@@ -81,4 +85,41 @@ def _march_bwd(scene, cfg, res, cots):
     return p_bar, o_bar, d_bar, zero, None
 
 
+def _march_bwd(scene, cfg, res, cots):
+    return _implicit_bwd(scene, cfg, res, cots)
+
+
 march_diff.defvjp(_march_fwd, _march_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def march_diff_fused(scene, cfg, interpret, params, o: Vec3, d: Vec3,
+                     dist_mult, active):
+    """`march_diff` with the forward pass on the fused Pallas kernel
+    (`kernels.march.march_fused`: one launch, per-tile early-out) and the
+    SAME implicit-function backward (one SDF VJP in plain XLA).
+
+    This is the TPU-fast differentiable march: the forward march — the cost
+    center of both passes (`RayMarch3.glsl:145-169`) — runs at megakernel
+    rates, and reverse-mode never touches the while_loop.  Gradients are
+    bitwise-equal to `march_diff`'s because the Pallas march returns the
+    bitwise-identical t (its kernel body IS the oracle march) and the
+    adjoint is shared.  `interpret=True` is the CPU test path."""
+    from raymarchrenderer_tpu.kernels.march import march_fused
+    return march_fused(scene, lax.stop_gradient(params), cfg, o, d,
+                       dist_mult, active, interpret=interpret)
+
+
+def _march_fused_fwd(scene, cfg, interpret, params, o, d, dist_mult, active):
+    from raymarchrenderer_tpu.kernels.march import march_fused
+    t, mid, hitm = march_fused(scene, lax.stop_gradient(params), cfg,
+                               lax.stop_gradient(o), lax.stop_gradient(d),
+                               dist_mult, active, interpret=interpret)
+    return (t, mid, hitm), (params, o, d, t, hitm & active)
+
+
+def _march_fused_bwd(scene, cfg, interpret, res, cots):
+    return _implicit_bwd(scene, cfg, res, cots)
+
+
+march_diff_fused.defvjp(_march_fused_fwd, _march_fused_bwd)

@@ -68,7 +68,7 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
                  mode: str = "wavefront",
                  shade_gate: float = DEFAULT_SHADE_GATE,
                  march_unroll: int = DEFAULT_MARCH_UNROLL,
-                 defer_sky: bool = False):
+                 defer_sky: bool = False, normalize: bool = True):
     """Build the kernel body (closed over the static scene/config)."""
 
     def kernel(corners_ref, scalar_ref, *refs):
@@ -106,7 +106,7 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
         channels = Vec3.full((bh, bw), 1.0, 1.0, 1.0)
         s0 = scalar_ref[0, 0].astype(jnp.uint32)
 
-        inv = 1.0 / float(n_samples)
+        inv = 1.0 / float(n_samples) if normalize else 1.0
         if mode == "mega":
             # single trace with in-loop sample regeneration: straggler
             # cost amortizes over all n_samples (render.mega); dispersion
@@ -172,18 +172,24 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
     jax.jit,
     static_argnames=("scene", "cfg", "patch_shape", "n_samples",
                      "direct_light", "block", "interpret", "mode",
-                     "shade_gate", "march_unroll"))
+                     "shade_gate", "march_unroll", "normalize"))
 def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
                        origin_xy, patch_shape, sample0,
                        n_samples: int = 1, direct_light: bool = False,
                        block=(DEFAULT_BH, DEFAULT_BW),
                        interpret: bool = False, mode: str = "auto",
                        shade_gate: float = DEFAULT_SHADE_GATE,
-                       march_unroll: int = DEFAULT_MARCH_UNROLL):
+                       march_unroll: int = DEFAULT_MARCH_UNROLL,
+                       normalize: bool = True):
     """Mean of `n_samples` samples of a (ph, pw) pixel patch at dynamic
     origin `origin_xy` — the fused-kernel twin of
     `render.integrator.render_patch` (unit of tile sharding).  Returns
     (ph, pw, 3) float32 linear.
+
+    `normalize=False` returns the raw per-pixel SUM over samples instead of
+    the mean — callers that merge shards (`parallel.sharding`) divide once
+    at the end, keeping the sharded result bitwise-equal to the unsharded
+    oracle (mean→sum→mean would round twice).
 
     `interpret=True` runs the Pallas interpreter (CPU test path — the
     "fake backend" of SURVEY.md §4 item 2)."""
@@ -241,7 +247,7 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
     kernel = _tile_kernel(scene, cfg, treedef, leaf_shapes,
                           1 if defer_sky else n_samples,
                           direct_light, bh, bw, mode, shade_gate,
-                          march_unroll, defer_sky)
+                          march_unroll, defer_sky, normalize)
     grid = (ph // bh, pw // bw)
     small_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
@@ -282,7 +288,87 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
         0, n_samples,
         lambda k, acc: acc + one_sample(s0 + jnp.uint32(k)),
         jnp.zeros((ph, pw, 3), jnp.float32))
-    return total / float(n_samples)
+    return total / float(n_samples) if normalize else total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scene", "cfg", "block", "interpret"))
+def march_fused(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
+                dist_mult, active, block=(DEFAULT_BH, DEFAULT_BW),
+                interpret: bool = False):
+    """Pallas sphere trace over arbitrary (H, W) ray planes — the fused twin
+    of `render.integrator.march` (`RayMarch.glsl:233-257` semantics), ONE
+    launch for the whole plane, gridded over VPU tiles with per-tile
+    early-out (a tile whose rays all converge stops marching — the
+    whole-plane XLA while_loop steps until the LAST ray of the frame
+    converges).
+
+    Returns (t, mat_index, hit_mask) with hit_mask int32 0/1 — bitwise
+    identical to the oracle march (the kernel body IS the oracle march,
+    traced over the tile).  Forward-only: this is the hot half of the
+    differentiable render (`diff.march.march_diff_fused` pairs it with the
+    implicit-function adjoint, whose backward is ONE extra SDF VJP in plain
+    XLA — the march loop itself never needs a transpose)."""
+    shape = jnp.shape(o.x)
+    if len(shape) != 2:
+        raise ValueError(f"march_fused wants (H, W) ray planes, got {shape}")
+    h, w = shape
+    bh, bw = min(block[0], h), min(block[1], w)
+    if h % bh or w % bw:
+        raise ValueError(f"plane {w}x{h} must tile by block {bw}x{bh}")
+
+    # the march only reads the object subtree — don't ship materials/env
+    # (the env image especially would blow VMEM for nothing)
+    mparams = {"objects": params["objects"]}
+    leaves, treedef = jax.tree.flatten(mparams)
+    leaves = [jnp.asarray(l, jnp.float32) for l in leaves]
+    leaf_shapes = tuple((jnp.shape(l), int(l.size)) for l in leaves)
+    leaves2d = [l.reshape(1, l.size) for l in leaves if l.size]
+    n_shipped = len(leaves2d)
+
+    def kernel(*refs):
+        param_refs = refs[:n_shipped]
+        (ox, oy, oz, dx, dy, dz, dm, act) = refs[n_shipped:n_shipped + 8]
+        t_out, mid_out, hit_out = refs[n_shipped + 8:]
+        rebuilt = []
+        ri = 0
+        for shp, size in leaf_shapes:
+            if size == 0:
+                rebuilt.append(jnp.zeros(shp, jnp.float32))
+            else:
+                rebuilt.append(param_refs[ri][:].reshape(shp))
+                ri += 1
+        p = jax.tree.unflatten(treedef, rebuilt)
+        from raymarchrenderer_tpu.render.integrator import march
+        t, mid, hitb = march(scene, p, cfg,
+                             Vec3(ox[:], oy[:], oz[:]),
+                             Vec3(dx[:], dy[:], dz[:]),
+                             dm[:], act[:] > 0)
+        t_out[:] = t
+        mid_out[:] = mid
+        hit_out[:] = hitb.astype(jnp.int32)
+
+    tile = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    small_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    planes = [jnp.asarray(a, f32) for a in
+              (o.x, o.y, o.z, d.x, d.y, d.z)]
+    planes.append(jnp.broadcast_to(jnp.asarray(dist_mult, f32), shape))
+    planes.append(jnp.broadcast_to(
+        jnp.asarray(active).astype(jnp.int32), shape))
+    t, mid, hit = pl.pallas_call(
+        kernel,
+        grid=(h // bh, w // bw),
+        in_specs=[small_vmem] * n_shipped + [tile] * 8,
+        out_specs=(tile, tile, tile),
+        out_shape=(jax.ShapeDtypeStruct(shape, f32),
+                   jax.ShapeDtypeStruct(shape, jnp.int32),
+                   jax.ShapeDtypeStruct(shape, jnp.int32)),
+        interpret=interpret,
+    )(*leaves2d, *planes)
+    return t, mid, hit > 0
 
 
 def render_fused(scene: Scene, params, cfg: RenderConfig, corners,

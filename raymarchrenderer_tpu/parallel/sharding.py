@@ -96,10 +96,13 @@ def render_sharded(scene: Scene, params, cfg: RenderConfig, corners,
         if impl == "fused":
             from raymarchrenderer_tpu.kernels.march import render_fused_patch
             s0 = (si * spp_per).astype(jnp.uint32)
+            # normalize=False: the kernel emits the raw per-pixel sum so the
+            # one division below is the ONLY rounding — bitwise-equal to the
+            # unsharded oracle sum (mean→×spp_per would round twice)
             acc = render_fused_patch(
                 scene, params, cfg, corners, origin, (rows_per, cfg.width),
                 s0, n_samples=spp_per, direct_light=direct_light,
-                interpret=interpret) * jnp.float32(spp_per)
+                interpret=interpret, normalize=False)
         else:
             def body(k, acc):
                 s = (si * spp_per + k).astype(jnp.uint32)
@@ -127,14 +130,26 @@ def render_sharded(scene: Scene, params, cfg: RenderConfig, corners,
 
 def train_step_sharded(scene: Scene, params, cfg: RenderConfig, corners,
                        target, mesh: Mesh, spp: int, lr: float = 1e-2,
-                       direct_light: bool = False):
+                       direct_light: bool = False,
+                       march_impl: str = "oracle",
+                       interpret: bool = False,
+                       remat: bool = True):
     """One inverse-rendering SGD step over the ('tile', 'spp') mesh.
 
     The distributed-training analogue for this framework (BASELINE config 5):
     forward render sharded over tiles and samples, pixel L2 loss against
     `target`, reparameterized-march gradients to every scene parameter,
     grad all-reduce (`psum` over both mesh axes — rides ICI), SGD update.
-    Returns (scalar loss, updated params), both replicated."""
+    Returns (scalar loss, updated params), both replicated.
+
+    `march_impl="fused"` runs every forward march on the Pallas kernel
+    (`diff.march.march_diff_fused`) — the production differentiable path:
+    the march (the cost center of both passes) runs at kernel rates and the
+    backward is the implicit adjoint in plain XLA.  `remat=True` (default)
+    checkpoints each sample's render so reverse-mode stores one bounce-loop
+    of residuals per sample *being recomputed*, not per sample rendered —
+    O(1) memory in spp, which is what lets a full-frame 1024²+ train step
+    fit HBM (BASELINE config 5)."""
     n_tile = mesh.shape["tile"]
     n_spp = mesh.shape["spp"]
     if cfg.height % n_tile or spp % n_spp:
@@ -148,13 +163,20 @@ def train_step_sharded(scene: Scene, params, cfg: RenderConfig, corners,
         si = lax.axis_index("spp")
         origin = jnp.stack([jnp.int32(0), (ti * rows_per).astype(jnp.int32)])
 
+        def one_sample(params, s):
+            color = render_patch(scene, params, cfg, corners, origin,
+                                 (rows_per, cfg.width), s, direct_light,
+                                 differentiable=True, march_impl=march_impl,
+                                 interpret=interpret)
+            return color.stack(-1)
+
+        if remat:
+            one_sample = jax.checkpoint(one_sample)
+
         def loss_fn(params):
             def body(k, acc):
                 s = (si * spp_per + k).astype(jnp.uint32)
-                color = render_patch(scene, params, cfg, corners, origin,
-                                     (rows_per, cfg.width), s, direct_light,
-                                     differentiable=True)
-                return acc + color.stack(-1)
+                return acc + one_sample(params, s)
 
             acc = lax.fori_loop(
                 0, spp_per, body,

@@ -217,7 +217,9 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
               px, py, sample, channels: Vec3,
               direct_light: bool = False,
               differentiable: bool = False,
-              defer_sky: bool = False):
+              defer_sky: bool = False,
+              march_impl: str = "oracle",
+              interpret: bool = False):
     """Gen-1 `trace` (`RayMarch.glsl:483-565`), fully masked.
 
     Paths terminate on emission (dir == 0), on sky miss, or after
@@ -236,11 +238,26 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
     event and the gather happens in plain XLA outside (kernels/march.py)."""
     shape = jnp.shape(d0.x)
     ones = jnp.ones(shape, jnp.float32)
-    if differentiable:
+    if differentiable and march_impl == "fused":
+        # TPU-fast differentiable render: forward march on the fused Pallas
+        # kernel (per-tile early-out), backward via the shared implicit
+        # adjoint — bitwise-equal gradients to the oracle path.
+        from raymarchrenderer_tpu.diff.march import march_diff_fused
+
+        def march_fn(o, d, dist_mult, active):
+            return march_diff_fused(scene, cfg, interpret, params, o, d,
+                                    dist_mult, active)
+    elif differentiable:
         from raymarchrenderer_tpu.diff.march import march_diff
 
         def march_fn(o, d, dist_mult, active):
             return march_diff(scene, cfg, params, o, d, dist_mult, active)
+    elif march_impl == "fused":
+        from raymarchrenderer_tpu.kernels.march import march_fused
+
+        def march_fn(o, d, dist_mult, active):
+            return march_fused(scene, params, cfg, o, d, dist_mult, active,
+                               interpret=interpret)
     else:
         def march_fn(o, d, dist_mult, active):
             return march(scene, params, cfg, o, d, dist_mult, active)
@@ -347,7 +364,9 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
 def render_patch(scene: Scene, params, cfg: RenderConfig, corners,
                  origin_xy, patch_shape, sample,
                  direct_light: bool = False,
-                 differentiable: bool = False) -> Vec3:
+                 differentiable: bool = False,
+                 march_impl: str = "oracle",
+                 interpret: bool = False) -> Vec3:
     """One sample of a rectangular pixel patch with *dynamic* origin and
     *static* shape — the unit of work shared by tile scheduling and by
     tile sharding across chips.  Because the RNG is keyed on absolute pixel
@@ -368,7 +387,8 @@ def render_patch(scene: Scene, params, cfg: RenderConfig, corners,
     if not cfg.separate_channels:
         channels = Vec3.full((ph, pw), 1.0, 1.0, 1.0)
         return trace_rgb(scene, params, cfg, eye, d, px, py, sample,
-                         channels, direct_light, differentiable)
+                         channels, direct_light, differentiable,
+                         march_impl=march_impl, interpret=interpret)
     total = Vec3.zeros((ph, pw))
     for ci, mask in enumerate(((1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
                                (0.0, 0.0, 1.0))):
@@ -376,7 +396,8 @@ def render_patch(scene: Scene, params, cfg: RenderConfig, corners,
         s_id = sample * jnp.uint32(4) + jnp.uint32(ci + 1)
         total = total + trace_rgb(scene, params, cfg, eye, d, px, py,
                                   s_id, channels, direct_light,
-                                  differentiable)
+                                  differentiable,
+                                  march_impl=march_impl, interpret=interpret)
     return total
 
 

@@ -181,3 +181,84 @@ class TestPixelGradients:
         eps = 1e-3
         fd = (float(loss_j(1.0 + eps)) - float(loss_j(1.0 - eps))) / (2 * eps)
         np.testing.assert_allclose(g, fd, rtol=0.35, atol=2e-3)
+
+
+class TestFusedDifferentiable:
+    """The production differentiable path: Pallas forward march
+    (`kernels.march.march_fused`) + the shared implicit adjoint
+    (`diff.march.march_diff_fused`).  Everything here runs the Pallas
+    interpreter (the CPU "fake backend")."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from raymarchrenderer_tpu.render.integrator import render_patch
+        scene = sphere_on_floor()
+        cfg = RenderConfig(width=64, height=32, spp=1, max_steps=96,
+                           max_bounces=3, max_dist=100.0)
+        corners = Camera(aspect=2.0).corner_rays_flat()
+        return scene, cfg, corners, render_patch
+
+    def test_march_fused_bitwise_parity(self, setup):
+        """The Pallas march IS the oracle march traced over tiles."""
+        from raymarchrenderer_tpu.core.rng import RNGStream
+        from raymarchrenderer_tpu.kernels.march import march_fused
+        from raymarchrenderer_tpu.render.integrator import march
+        from raymarchrenderer_tpu.render.raygen import (
+            eye_vec, pixel_grid, primary_rays)
+        scene, cfg, corners, _ = setup
+        params = scene.init_params()
+        px, py = pixel_grid(cfg.width, cfg.height)
+        rng = RNGStream(cfg.seed, px, py, jnp.uint32(0), jnp.uint32(1 << 20))
+        d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
+        e = eye_vec(corners)
+        shape = (cfg.height, cfg.width)
+        eye = Vec3(jnp.broadcast_to(e.x, shape),
+                   jnp.broadcast_to(e.y, shape),
+                   jnp.broadcast_to(e.z, shape))
+        ones = jnp.ones(shape, jnp.float32)
+        act = jnp.ones(shape, bool)
+        t0, m0, h0 = march(scene, params, cfg, eye, d, ones, act)
+        t1, m1, h1 = march_fused(scene, params, cfg, eye, d, ones, act,
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+
+    def test_fused_gradients_bitwise_equal_oracle(self, setup):
+        """Same forward t (bitwise) + shared adjoint ⇒ bitwise-equal grads
+        for the full differentiable render."""
+        scene, cfg, corners, render_patch = setup
+        base = scene.init_params()
+        origin = (jnp.int32(0), jnp.int32(0))
+
+        def loss(params, impl):
+            c = render_patch(scene, params, cfg, corners, origin,
+                             (cfg.height, cfg.width), jnp.uint32(0),
+                             differentiable=True, march_impl=impl,
+                             interpret=True)
+            return jnp.sum(c.stack(-1) ** 2)
+
+        l0, g0 = jax.value_and_grad(loss)(base, "oracle")
+        l1, g1 = jax.value_and_grad(loss)(base, "fused")
+        assert float(l0) == float(l1)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fused_diff_composes_with_remat(self, setup):
+        """jax.checkpoint over the fused-march render (the O(1)-in-spp
+        memory recipe of train_step_sharded) leaves grads unchanged."""
+        scene, cfg, corners, render_patch = setup
+        base = scene.init_params()
+        origin = (jnp.int32(0), jnp.int32(0))
+
+        def one(params):
+            c = render_patch(scene, params, cfg, corners, origin,
+                             (cfg.height, cfg.width), jnp.uint32(0),
+                             differentiable=True, march_impl="fused",
+                             interpret=True)
+            return jnp.sum(c.stack(-1) ** 2)
+
+        g0 = jax.grad(one)(base)
+        g1 = jax.grad(jax.checkpoint(one))(base)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

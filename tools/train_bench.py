@@ -1,0 +1,101 @@
+"""BASELINE config 5 demo: full-frame sharded inverse-rendering train step.
+
+Runs `parallel.sharding.train_step_sharded` — fused Pallas forward march
+(`march_impl="fused"`), implicit-function adjoint, psum grad all-reduce,
+SGD — at a full 1024²+ frame on the available mesh (1×1 on a single chip;
+the multi-device sharding of the same code path is validated by
+`__graft_entry__.dryrun_multichip` on an 8-device mesh), and reports the
+train-step rate next to the forward-only fused render rate so the
+backward's cost is an honest multiple, not a guess.
+
+Knobs: TRAIN_SIZE (default 1024), TRAIN_SPP (default 4), TRAIN_STEPS
+(default 3 timed steps), TRAIN_BOUNCES (default 4 — inverse rendering
+wants short transport; 16-bounce budgets are a forward-render default).
+
+Prints one JSON line; `bench.py` stays the driver headline.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+
+def main():
+    size = int(os.environ.get("TRAIN_SIZE", "1024"))
+    spp = int(os.environ.get("TRAIN_SPP", "4"))
+    steps = int(os.environ.get("TRAIN_STEPS", "3"))
+    bounces = int(os.environ.get("TRAIN_BOUNCES", "4"))
+
+    from raymarchrenderer_tpu.core.camera import Camera
+    from raymarchrenderer_tpu.kernels.march import render_fused
+    from raymarchrenderer_tpu.parallel.sharding import train_step_sharded
+    from raymarchrenderer_tpu.render.config import RenderConfig
+    from raymarchrenderer_tpu.scene.builtin import sphere_on_floor
+
+    platform = jax.devices()[0].platform
+    interpret = platform != "tpu"
+    scene = sphere_on_floor()
+    params = scene.init_params()
+    cfg = RenderConfig(width=size, height=size, max_bounces=bounces,
+                       relax_omega=1.9, normal_taps=4)
+    corners = Camera(aspect=1.0).corner_rays_flat()
+
+    n = len(jax.devices())
+    tile = 1
+    while n % (tile * 2) == 0 and tile < 4:
+        tile *= 2
+    mesh = Mesh(np.asarray(jax.devices()).reshape(tile, n // tile),
+                ("tile", "spp"))
+
+    # forward-only fused reference rate (same workload, megakernel)
+    fwd = jax.jit(lambda p, c, s: render_fused(
+        scene, p, cfg, c, s, n_samples=spp, interpret=interpret))
+    jax.block_until_ready(fwd(params, corners, jnp.uint32(0)))
+    t0 = time.perf_counter()
+    jax.block_until_ready(fwd(params, corners, jnp.uint32(spp)))
+    fwd_dt = time.perf_counter() - t0
+
+    # the target: a converged-ish render of perturbed geometry
+    target = fwd(params, corners, jnp.uint32(64))
+
+    def step(p, s):
+        return train_step_sharded(scene, p, cfg, corners, target, mesh,
+                                  spp=spp, lr=1e-3, march_impl="fused",
+                                  interpret=interpret)
+
+    with mesh:
+        loss, p = step(params, 0)
+        jax.block_until_ready((loss, p))  # compile + warmup
+        times = []
+        for k in range(steps):
+            t0 = time.perf_counter()
+            loss, p = step(p, k + 1)
+            jax.block_until_ready((loss, p))
+            times.append(time.perf_counter() - t0)
+    dt = min(times)
+    mpix_spp_s = size * size * spp / dt / 1e6
+    fwd_rate = size * size * spp / fwd_dt / 1e6
+    print(json.dumps({
+        "metric": "train-step Mpix*spp/s @ %dx%d spp=%d bounces=%d "
+                  "(mesh=%dx%d, %s)" % (size, size, spp, bounces, tile,
+                                        n // tile, platform),
+        "value": round(mpix_spp_s, 3),
+        "unit": "Mpix*spp/s",
+        "forward_fused_mpix_spp_s": round(fwd_rate, 3),
+        "train_vs_forward": round(fwd_rate / mpix_spp_s, 2),
+        "loss": round(float(loss), 6),
+        "wall_s": round(dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
