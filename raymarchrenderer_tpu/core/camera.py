@@ -8,8 +8,7 @@ We keep that contract: `Camera.corner_rays()` returns
 second vertical (0 = TOP image row) — and ray generation lives in
 `raymarchrenderer_tpu.render.raygen`.
 
-Deliberate deviation from reference HEAD (verified numerically against the
-reference's own golden renders in `output/*.bmp`): HEAD's `calculateRays`
+Deliberate deviation from reference HEAD: HEAD's `calculateRays`
 (`Camera.cpp:54-102`) rotates with UNNORMALIZED local axes (`Camera.cpp:25-29`)
 and its kernels interpolate the vertical corner pair along the horizontal
 pixel axis (`RayMarch3.glsl:535`), which together produce a transposed,
@@ -17,7 +16,12 @@ anamorphically-stretched framebuffer — inconsistent with the committed 2015
 golden images (normal composition, circular spheres).  The goldens are the
 evident intent, so this camera is an EXACT pinhole: orthonormal view basis,
 tangent-plane corners (bilinear interpolation of unnormalized corner vectors
-followed by normalize reproduces the pinhole projection exactly).
+followed by normalize reproduces the pinhole projection exactly), with
+handedness and orientation fixed BY those goldens — the committed check is
+`tools/reference_parity.py`, which renders the reference's own
+`default.scene` from the `Program.cpp:102` pose and verifies silhouette
+positions/statistics against `output/2015-07-12_23-07.bmp`
+(`tests/test_reference_parity.py` runs the downscaled version in CI).
 """
 from __future__ import annotations
 
@@ -55,15 +59,21 @@ class Camera:
     def _frame(self):
         """(right, up, forward) — right-handed screen basis.
 
-        right = dir x world_up (screen-right; falls back to x when looking
-        straight up/down), up = right x dir."""
+        right = world_up x dir (screen-right; falls back to x when looking
+        straight up/down), up = dir x right.  The handedness is fixed by the
+        reference's own golden renders (`output/*.bmp`): from the default
+        pose (`Program.cpp:102`, eye=(0,4,-6) facing +z) the green panel at
+        x=-4 appears on the LEFT of every 2015 image, so screen-right is +x
+        — i.e. world_up x dir, the physical 'right hand of a viewer facing
+        dir'.  (dir x world_up would mirror the frame; see
+        tools/reference_parity.py for the committed check.)"""
         d = Vec3.of(self.direction)
         up_w = Vec3.of((0.0, 1.0, 0.0))
-        r = d.cross(up_w)
+        r = up_w.cross(d)
         if float(r.dot(r)) < 1e-12:
             r = Vec3.of((1.0, 0.0, 0.0))
         r = r.normalized()
-        u = r.cross(d).normalized()
+        u = d.cross(r).normalized()
         return r, u, d
 
     def corner_rays(self) -> Corners:

@@ -228,6 +228,31 @@ def _srgb_to_linear_np(c: np.ndarray) -> np.ndarray:
                     np.power((c + 0.055) / 1.055, 2.4))
 
 
+def load_bmp(path: str) -> np.ndarray:
+    """Decode a 24-bit uncompressed (BI_RGB) BMP → (H, W, 3) uint8 RGB,
+    top-down row order.  Exactly the format the reference's `SaveImage`
+    emits via SOIL (`Graphics.cpp:754-799`) — this reads the 2015 golden
+    renders in the reference's `output/` for parity testing, and
+    round-trips our own `save_bmp`."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:2] == b"BM", "not a BMP file"
+    (offset,) = struct.unpack_from("<I", data, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    assert hdr_size >= 40 and bpp == 24 and compression == 0, (
+        f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    flip = h > 0          # positive height = bottom-up storage
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, np.uint8, row_size * h, offset)
+    rows = rows.reshape(h, row_size)[:, :w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, ::-1])  # BGR → RGB
+
+
 def load_png(path: str) -> np.ndarray:
     """Decode the PNGs we write (8-bit RGB, filter 0) → linear float32."""
     with open(path, "rb") as f:

@@ -115,6 +115,19 @@ class TestCamera:
         for r in (r00, r10, r01, r11):
             assert float(r.z) > 0
 
+    def test_handedness_matches_reference_goldens(self):
+        """Facing +z with y-up, screen-right is +x: the reference's own
+        2015 goldens (`output/*.bmp`) show the default.scene green panel at
+        x=-4 on the LEFT of frame from the default pose — the external
+        artifact that fixes the mirror ambiguity (tools/reference_parity.py
+        asserts the full projection against the BMPs)."""
+        cam = Camera(eye=(0, 0, 0), direction=(0, 0, 1), aspect=1.0,
+                     fov=math.pi / 4)
+        _, r00, r10, r01, r11 = cam.corner_rays()
+        assert float(r10.x) > 0  # top-right corner looks toward +x
+        assert float(r00.x) < 0  # top-left toward -x
+        assert float(r00.y) > 0  # top row looks up
+
     def test_fov_angle(self):
         cam = Camera(eye=(0, 0, 0), direction=(0, 0, 1), aspect=1.0,
                      fov=math.pi / 2)

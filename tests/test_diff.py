@@ -157,7 +157,11 @@ class TestPixelGradients:
         m_ball = b.diffuse([0.5, 0.5, 0.5])
         b.box(m_floor, [0, -0.025, 0], [32, 0.05, 32])
         b.sphere(m_ball, [0, 1, 0], 1.0)
-        b.light([4, 6, -3], 40.0, 0.5)
+        # x=-4: the corrected camera handedness (screen-right = +x, fixed by
+        # the reference goldens — core/camera.py) mirrors the frame relative
+        # to the pre-fix camera; mirroring the light keeps the rendered
+        # image (and this test's FD configuration) bit-identical.
+        b.light([-4, 6, -3], 40.0, 0.5)
         b.sky(0.1)
         scene = b.build()
         base = scene.init_params()
