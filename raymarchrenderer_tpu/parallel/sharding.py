@@ -78,6 +78,20 @@ def render_sharded(scene: Scene, params, cfg: RenderConfig, corners,
     reference.  `interpret=True` runs the fused kernel on the Pallas
     interpreter (CPU mesh tests).
     """
+    fn = _render_sharded_fn(scene, cfg, mesh, spp, direct_light, impl,
+                            interpret)
+    return fn(params, corners)
+
+
+@functools.lru_cache(maxsize=64)
+def _render_sharded_fn(scene: Scene, cfg: RenderConfig, mesh: Mesh,
+                       spp: int, direct_light: bool, impl: str,
+                       interpret: bool):
+    """Build (and cache) the jitted sharded render for a static config.
+
+    Caching matters: `jax.jit` keys on function identity, so a fresh
+    closure per call would recompile every step — the progressive driver
+    and the train loop call this once per launch."""
     n_tile = mesh.shape["tile"]
     n_spp = mesh.shape["spp"]
     if cfg.height % n_tile:
@@ -120,12 +134,11 @@ def render_sharded(scene: Scene, params, cfg: RenderConfig, corners,
     # replicated constants and become device-varying — semantically fine
     # (each chip runs an independent march), but the varying-axis type
     # checker would demand explicit pvary plumbing through shared code.
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(shard_fn, mesh=mesh,
                       in_specs=(P(), P()),
                       out_specs=P("tile", None, None),
                       check_vma=False))
-    return fn(params, corners)
 
 
 def train_step_sharded(scene: Scene, params, cfg: RenderConfig, corners,
@@ -150,6 +163,20 @@ def train_step_sharded(scene: Scene, params, cfg: RenderConfig, corners,
     of residuals per sample *being recomputed*, not per sample rendered —
     O(1) memory in spp, which is what lets a full-frame 1024²+ train step
     fit HBM (BASELINE config 5)."""
+    fn = _train_step_fn(scene, cfg, mesh, spp, direct_light, march_impl,
+                        interpret, remat)
+    return fn(params, corners, target, jnp.float32(lr))
+
+
+@functools.lru_cache(maxsize=64)
+def _train_step_fn(scene: Scene, cfg: RenderConfig, mesh: Mesh, spp: int,
+                   direct_light: bool, march_impl: str, interpret: bool,
+                   remat: bool):
+    """Build (and cache) the jitted sharded train step.  Caching matters:
+    `jax.jit` keys on function identity, so a fresh closure per call
+    recompiles every step (~200× the step itself).  The learning rate is a
+    traced argument of the returned function, so one compilation serves a
+    whole schedule; everything structural is in the cache key."""
     n_tile = mesh.shape["tile"]
     n_spp = mesh.shape["spp"]
     if cfg.height % n_tile or spp % n_spp:
@@ -158,7 +185,7 @@ def train_step_sharded(scene: Scene, params, cfg: RenderConfig, corners,
     spp_per = spp // n_spp
     norm = jnp.float32(cfg.height * cfg.width * 3)
 
-    def shard_fn(params, corners, target):
+    def shard_fn(params, corners, target, lr):
         ti = lax.axis_index("tile")
         si = lax.axis_index("spp")
         origin = jnp.stack([jnp.int32(0), (ti * rows_per).astype(jnp.int32)])
@@ -196,12 +223,11 @@ def train_step_sharded(scene: Scene, params, cfg: RenderConfig, corners,
         new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return loss, new_params
 
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(shard_fn, mesh=mesh,
-                      in_specs=(P(), P(), P("tile", None, None)),
+                      in_specs=(P(), P(), P("tile", None, None), P()),
                       out_specs=(P(), P()),
                       check_vma=False))
-    return fn(params, corners, target)
 
 
 def gather_image(img) -> np.ndarray:

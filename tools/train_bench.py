@@ -34,10 +34,13 @@ def main():
     spp = int(os.environ.get("TRAIN_SPP", "4"))
     steps = int(os.environ.get("TRAIN_STEPS", "3"))
     bounces = int(os.environ.get("TRAIN_BOUNCES", "4"))
+    remat = os.environ.get("TRAIN_REMAT", "1") == "1"
+    taps = int(os.environ.get("TRAIN_NORMAL_TAPS", "4"))
 
     from raymarchrenderer_tpu.core.camera import Camera
     from raymarchrenderer_tpu.kernels.march import render_fused
-    from raymarchrenderer_tpu.parallel.sharding import train_step_sharded
+    from raymarchrenderer_tpu.parallel.sharding import (
+        render_replicated_params, train_step_sharded)
     from raymarchrenderer_tpu.render.config import RenderConfig
     from raymarchrenderer_tpu.scene.builtin import sphere_on_floor
 
@@ -46,7 +49,7 @@ def main():
     scene = sphere_on_floor()
     params = scene.init_params()
     cfg = RenderConfig(width=size, height=size, max_bounces=bounces,
-                       relax_omega=1.9, normal_taps=4)
+                       relax_omega=1.9, normal_taps=taps)
     corners = Camera(aspect=1.0).corner_rays_flat()
 
     n = len(jax.devices())
@@ -70,9 +73,12 @@ def main():
     def step(p, s):
         return train_step_sharded(scene, p, cfg, corners, target, mesh,
                                   spp=spp, lr=1e-3, march_impl="fused",
-                                  interpret=interpret)
+                                  interpret=interpret, remat=remat)
 
     with mesh:
+        # pre-place replicated so step 1 compiles with the same input
+        # shardings steady-state steps see (uniform-upload analogue)
+        params = render_replicated_params(scene, params, mesh)
         loss, p = step(params, 0)
         jax.block_until_ready((loss, p))  # compile + warmup
         times = []
