@@ -166,11 +166,10 @@ def cmd_render(args) -> int:
 
     if args.spectral:
         from raymarchrenderer_tpu.render.spectral_integrator import (
-            default_band_table, render_spectral, spectral_demo)
-        if args.scene == "sphere_on_floor":
-            _, _, mats = spectral_demo()  # exact gen-3 hardcoded bands
-        else:
-            mats = default_band_table(scene)
+            band_table, render_spectral)
+        # scene-authored `spectral` blocks (e.g. spectral.scene /
+        # sphere_on_floor carry the exact gen-3 bands) or neutral default
+        mats = band_table(scene)
 
         def spectral_cb(s, state):
             if args.checkpoint:

@@ -183,23 +183,30 @@ def default_band_table(scene: Scene) -> SpectralMaterials:
     """A neutral gen-3-style band table for an arbitrary RGB scene:
     emissive materials become 380–780 nm power-8 emitter bands
     (`mat_func_0`, `RayMarch3.glsl:251-262`), everything else a
-    380–780 nm ×0.8 filter (`mat_func_1`).  The exact hardcoded gen-3
-    scene table is `spectral_demo`."""
+    380–780 nm ×0.8 filter (`mat_func_1`).  Scenes can override this
+    per-material with `spectral` blocks in the `.scene` JSON — use
+    `band_table` to honor them."""
     rows = [(380.0, 780.0, 8.0, 1) if scene.is_emissive(i)
             else (380.0, 780.0, 0.8, 0)
             for i in range(len(scene.materials))]
     return SpectralMaterials.table(rows)
 
 
+def band_table(scene: Scene) -> SpectralMaterials:
+    """The scene's gen-3 band table: scene-authored `spectral` blocks
+    (`Scene.spectral_rows`, parsed from `.scene` JSON or set via
+    `SceneBuilder.spectral_band`) when present, else the neutral default."""
+    if scene.spectral_rows:
+        return SpectralMaterials.table(scene.spectral_rows)
+    return default_band_table(scene)
+
+
 def spectral_demo():
     """The gen-3 hardcoded scene (`RayMarch3.glsl:132-143,251-345`):
     380–780 nm power-8 sphere emitter, 380–780 nm ×0.8 floor,
-    490–590 nm ×0.8 sphere.  Returns (scene, params, mats)."""
+    490–590 nm ×0.8 sphere.  The bands ride the scene itself
+    (`sphere_on_floor`'s spectral blocks; file twin
+    `data/scenes/spectral.scene`).  Returns (scene, params, mats)."""
     from raymarchrenderer_tpu.scene.builtin import sphere_on_floor
     scene = sphere_on_floor()  # same geometry, material order 0/1/2
-    mats = SpectralMaterials.table([
-        (380.0, 780.0, 8.0, 1),    # mat 0: emitter (mat_func_0)
-        (380.0, 780.0, 0.8, 0),    # mat 1: floor   (mat_func_1)
-        (490.0, 590.0, 0.8, 0),    # mat 2: sphere  (mat_func_2)
-    ])
-    return scene, scene.init_params(), mats
+    return scene, scene.init_params(), band_table(scene)

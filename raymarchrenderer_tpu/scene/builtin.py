@@ -133,6 +133,16 @@ class SceneBuilder:
         self._add_object(mat, [node_of(prim_a, 0), node_of(prim_b, 1),
                                op_node], distance=2)
 
+    # -- spectral (gen-3) ------------------------------------------------------
+    def spectral_band(self, mat_id: int, min_wave: float, max_wave: float,
+                      power: float, kind: int = 0):
+        """Attach a gen-3 `ColorRange` band filter to a material
+        (`RayMarch3.glsl:251-345`; kind 1 = emitter).  Serialized as the
+        material's `spectral` block in the `.scene` JSON."""
+        self._materials[mat_id]["spectral"] = {
+            "min_wave": min_wave, "max_wave": max_wave,
+            "power": power, "kind": kind}
+
     # -- lights / env ------------------------------------------------------------
     def light(self, pos, power: float, radius: float = 0.1):
         self._lights.append({"pos": list(pos), "power": power,
@@ -157,11 +167,18 @@ class SceneBuilder:
 # -----------------------------------------------------------------------------
 
 def sphere_on_floor() -> Scene:
-    """RGB twin of the gen-3 hardcoded scene (`RayMarch3.glsl:132-143`)."""
+    """RGB twin of the gen-3 hardcoded scene (`RayMarch3.glsl:132-143`),
+    carrying the gen-3 band table (`:251-345`) as scene-authored spectral
+    blocks: power-8 380-780nm sphere emitter (`mat_func_0`), x0.8 380-780nm
+    floor (`mat_func_1`), x0.8 490-590nm ball (`mat_func_2`).  Serialized
+    form: `data/scenes/spectral.scene`."""
     b = SceneBuilder()
     m_emit = b.emission([1.0, 1.0, 1.0], 8.0)
     m_floor = b.diffuse([0.8, 0.8, 0.8])
     m_ball = b.diffuse([0.2, 0.8, 0.3])
+    b.spectral_band(m_emit, 380.0, 780.0, 8.0, kind=1)
+    b.spectral_band(m_floor, 380.0, 780.0, 0.8)
+    b.spectral_band(m_ball, 490.0, 590.0, 0.8)
     b.box(m_floor, [0, -0.025, 0], [32, 0.05, 32])
     b.sphere(m_ball, [0, 1, 0], 1.0)
     b.sphere(m_emit, [6, 8, -4], 4.0)

@@ -163,6 +163,12 @@ class Scene:
     objects: Tuple[ObjectDef, ...]
     n_lights: int = 0
     has_env_map: bool = False
+    # gen-3 band-filter rows (min_wave, max_wave, power, kind) aligned with
+    # `materials` — parsed from each material's optional `spectral` block
+    # (`RayMarch3.glsl:251-345` semantics; kind 1 = emitter).  Empty = no
+    # scene-authored table; `render.spectral_integrator.band_table()` then
+    # derives the neutral default.
+    spectral_rows: Tuple[Tuple[float, float, float, int], ...] = ()
 
     # parse-time initial values (not part of the static hash)
     _init: dict = dataclasses.field(default=None, compare=False, hash=False,
@@ -373,10 +379,23 @@ def loads_scene(text: str, env_image: Optional[np.ndarray] = None) -> Scene:
     if has_env:
         env_params["image"] = np.asarray(env_image, np.float32)
 
+    # optional gen-3 spectral blocks: {"spectral": {"min_wave", "max_wave",
+    # "power", "kind"}} per material (`RayMarch3.glsl:251-345` band filters;
+    # kind 1 = emitter).  If ANY material declares one, materials without a
+    # block get the neutral 380-780nm x0.8 surface filter (the `mat_func_1`
+    # default) so the row table stays aligned with `materials`.
+    spec_rows: Tuple[Tuple[float, float, float, int], ...] = ()
+    raw_mats = doc.get("materials", [])
+    if any("spectral" in m for m in raw_mats):
+        spec_rows = tuple(
+            (float(s.get("min_wave", 380.0)), float(s.get("max_wave", 780.0)),
+             float(s.get("power", 0.8)), int(s.get("kind", 0)))
+            for s in (m.get("spectral", {}) for m in raw_mats))
+
     init = {"materials": mat_params, "objects": obj_params,
             "lights": light_params, "env": env_params}
     return Scene(tuple(mats), tuple(objs), n_lights=len(lights),
-                 has_env_map=has_env, _init=init)
+                 has_env_map=has_env, spectral_rows=spec_rows, _init=init)
 
 
 def load_scene(path: str, env_image: Optional[np.ndarray] = None) -> Scene:
