@@ -76,7 +76,7 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
         param_refs = refs[:n_shipped]
         if defer_sky:
             (out_r, out_g, out_b, mt_r, mt_g, mt_b,
-             md_x, md_y, md_z) = refs[n_shipped:]
+             md_x, md_y, md_z) = refs[n_shipped:]  # banks: (K, bh, bw)
         else:
             out_r, out_g, out_b = refs[n_shipped:]
 
@@ -123,17 +123,37 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
             return
 
         if defer_sky:
-            # env-map scenes: ONE sample per launch; the kernel records the
-            # miss event (throughput + direction) and the equirect gather
-            # composites outside in plain XLA (render_fused_patch).
-            rng = RNGStream(cfg.seed, px, py, s0, jnp.uint32(1 << 20))
-            d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
-            c, mthr, mdir = trace_rgb(scene, params, cfg, eye, d, px, py,
-                                      s0, channels, direct_light,
-                                      defer_sky=True)
-            out_r[:], out_g[:], out_b[:] = c.x, c.y, c.z
-            mt_r[:], mt_g[:], mt_b[:] = mthr.x, mthr.y, mthr.z
-            md_x[:], md_y[:], md_z[:] = mdir.x, mdir.y, mdir.z
+            # env-map scenes: the VPU-hostile equirect gather stays OUT of
+            # the kernel — the kernel BANKS each sample's miss event
+            # (path throughput + miss direction, 6 planes per sample slot)
+            # and render_fused_patch composites `thr * sky(dir)` in plain
+            # XLA after the launch.  n_samples slots per launch amortize
+            # the dispatch (the former one-sample-per-launch restriction);
+            # `n_valid` masks trailing slots of a partial final chunk so
+            # arbitrary spp stay bitwise-equal to the oracle.
+            n_valid = scalar_ref[0, 3].astype(jnp.uint32)
+
+            def sample_body(k, acc):
+                ku = jnp.asarray(k).astype(jnp.uint32)
+                s = s0 + ku
+                live = (ku < n_valid).astype(jnp.float32)
+                rng = RNGStream(cfg.seed, px, py, s, jnp.uint32(1 << 20))
+                d = primary_rays(corners, px, py, cfg.width, cfg.height,
+                                 rng)
+                c, mthr, mdir = trace_rgb(scene, params, cfg, eye, d, px,
+                                          py, s, channels, direct_light,
+                                          defer_sky=True)
+                mt_r[k] = mthr.x * live
+                mt_g[k] = mthr.y * live
+                mt_b[k] = mthr.z * live
+                md_x[k], md_y[k], md_z[k] = mdir.x, mdir.y, mdir.z
+                ar, ag, ab = acc
+                return (ar + c.x * live, ag + c.y * live, ab + c.z * live)
+
+            zero = jnp.zeros((bh, bw), jnp.float32)
+            acc0 = sample_body(0, (zero, zero, zero))
+            ar, ag, ab = jax.lax.fori_loop(1, n_samples, sample_body, acc0)
+            out_r[:], out_g[:], out_b[:] = ar, ag, ab
             return
 
         def body(k, acc):
@@ -244,50 +264,73 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
     leaves2d = [l.reshape(1, l.size) for l in leaves if l.size]
     corners_arr = jnp.stack([jnp.asarray(c, jnp.float32) for c in corners])
 
-    kernel = _tile_kernel(scene, cfg, treedef, leaf_shapes,
-                          1 if defer_sky else n_samples,
+    # miss-event bank depth per launch: enough to amortize dispatch +
+    # composite, small enough that the (K, ph, pw) x6 f32 banks stay cheap
+    # in HBM (K=8 at 1024x1024 = 192 MB transient)
+    K_BANK = min(8, n_samples) if defer_sky else n_samples
+
+    kernel = _tile_kernel(scene, cfg, treedef, leaf_shapes, K_BANK,
                           direct_light, bh, bw, mode, shade_gate,
                           march_unroll, defer_sky, normalize)
     grid = (ph // bh, pw // bw)
     small_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
+    bank_spec = pl.BlockSpec((K_BANK, bh, bw), lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM)
     plane = jax.ShapeDtypeStruct((ph, pw), jnp.float32)
-    n_out = 9 if defer_sky else 3
+    bank = jax.ShapeDtypeStruct((K_BANK, ph, pw), jnp.float32)
+    if defer_sky:
+        out_specs = (out_spec,) * 3 + (bank_spec,) * 6
+        out_shapes = (plane,) * 3 + (bank,) * 6
+    else:
+        out_specs = (out_spec,) * 3
+        out_shapes = (plane,) * 3
 
-    def launch(sample):
+    def launch(sample, n_valid):
         scalar_arr = jnp.stack([
             jnp.asarray(sample, jnp.uint32).astype(jnp.int32),
             jnp.asarray(origin_xy[1], jnp.int32),
-            jnp.asarray(origin_xy[0], jnp.int32)]).reshape(1, 3)
+            jnp.asarray(origin_xy[0], jnp.int32),
+            jnp.asarray(n_valid, jnp.int32)]).reshape(1, 4)
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[small_vmem,
                       pl.BlockSpec(memory_space=pltpu.SMEM)]
                      + [small_vmem] * len(leaves2d),
-            out_specs=(out_spec,) * n_out,
-            out_shape=(plane,) * n_out,
+            out_specs=out_specs,
+            out_shape=out_shapes,
             interpret=interpret,
         )(corners_arr, scalar_arr, *leaves2d)
 
     if not defer_sky:
-        r, g, b = launch(sample0)
+        r, g, b = launch(sample0, n_samples)
         return jnp.stack([r, g, b], axis=-1)
 
-    def one_sample(sample):
-        r, g, b, tr, tg, tb, dx, dy, dz = launch(sample)
-        sky = scene.sky(params, Vec3(dx, dy, dz))
-        return jnp.stack([r + tr * sky.x, g + tg * sky.y, b + tb * sky.z],
-                         axis=-1)
+    def one_chunk(sample, n_valid):
+        """One K_BANK-deep launch + the XLA sky composite: the banked miss
+        throughputs scatter the (bilinear, `Scene.sky`) equirect lookups
+        back onto the hit accumulation.  Dead slots carry thr=0."""
+        r, g, b, tr, tg, tb, dx, dy, dz = launch(sample, n_valid)
+        sky = scene.sky(params, Vec3(dx, dy, dz))     # (K, ph, pw)
+        return jnp.stack([r + (tr * sky.x).sum(0),
+                          g + (tg * sky.y).sum(0),
+                          b + (tb * sky.z).sum(0)], axis=-1)
 
     s0 = jnp.asarray(sample0, jnp.uint32)
-    if n_samples == 1:
-        return one_sample(s0)
-    total = jax.lax.fori_loop(
-        0, n_samples,
-        lambda k, acc: acc + one_sample(s0 + jnp.uint32(k)),
-        jnp.zeros((ph, pw, 3), jnp.float32))
+    n_chunks = -(-n_samples // K_BANK)
+    if n_chunks == 1:
+        total = one_chunk(s0, n_samples)
+    else:
+        def chunk_body(c, acc):
+            cu = jnp.uint32(c)
+            n_valid = jnp.minimum(
+                jnp.int32(K_BANK),
+                jnp.int32(n_samples) - c * jnp.int32(K_BANK))
+            return acc + one_chunk(s0 + cu * jnp.uint32(K_BANK), n_valid)
+        total = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                                  jnp.zeros((ph, pw, 3), jnp.float32))
     return total / float(n_samples) if normalize else total
 
 

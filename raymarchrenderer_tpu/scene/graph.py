@@ -242,7 +242,13 @@ class Scene:
     # -- sky ---------------------------------------------------------------------
     def sky(self, params: dict, direction: Vec3) -> Vec3:
         """`skyColor` (`RayMarch.glsl:78-113`): equirect env map when present,
-        else constant vec3(power)."""
+        else constant vec3(power).
+
+        The env lookup is BILINEAR, matching the reference's GL sampler
+        state on the SOIL-loaded HDR texture (`texture2D(envTex, uv)`,
+        `RayMarch.glsl:97` + `Graphics.cpp:287`): horizontal wrap (phi is
+        periodic), vertical clamp (poles), texel centers at half-integer
+        coordinates (GL_LINEAR footprint)."""
         if self.has_env_map:
             img = params["env"]["image"]  # (H, W, 3) linear float32
             h, w = img.shape[0], img.shape[1]
@@ -251,9 +257,28 @@ class Scene:
             phi = jnp.where(phi < 0, phi + two_pi, phi)
             u = phi / two_pi
             v = 1.0 - (direction.y * 0.5 + 0.5)
-            xi = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
-            yi = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-            texel = img[yi, xi]  # gather
+            # GL_LINEAR: sample point in texel units, centers at +0.5.
+            # Vertical clamp-to-edge: clamp the SAMPLE POINT so both taps
+            # of a pole-adjacent footprint collapse onto the edge row
+            # (v=0 must return pure top row, not a half-blend with row 1).
+            x = u * w - 0.5
+            y = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
+            x0f = jnp.floor(x)
+            y0f = jnp.floor(y)
+            fx = x - x0f
+            fy = y - y0f
+            x0 = jnp.mod(x0f.astype(jnp.int32), w)          # wrap in phi
+            x1 = jnp.mod(x0 + 1, w)
+            y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)  # clamp at poles
+            y1 = jnp.clip(y0 + 1, 0, h - 1)
+            t00 = img[y0, x0]
+            t10 = img[y0, x1]
+            t01 = img[y1, x0]
+            t11 = img[y1, x1]
+            fx = fx[..., None]
+            fy = fy[..., None]
+            texel = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
+                     + (t01 * (1 - fx) + t11 * fx) * fy)
             return Vec3(texel[..., 0], texel[..., 1], texel[..., 2])
         power = params["env"]["power"]
         shape = jnp.shape(direction.x)

@@ -82,9 +82,16 @@ class TestFusedParity:
         assert _frac_off(img_o, img_f) < 1e-3
 
     def test_env_map_deferred_sky(self):
-        # env-map scenes run the wavefront kernel with the sky gather
-        # deferred to an XLA composite — bitwise vs the oracle (the same
-        # gather, the same throughput, one multiply each side)
+        """Env-map scenes run the wavefront kernel with the (bilinear) sky
+        gather deferred to an XLA composite.
+
+        Tolerance note: the banked miss THROUGHPUT is bitwise-equal to the
+        oracle's, but bounce DIRECTIONS diverge at FMA-contraction level
+        (~4e-5) between the kernel and oracle compilations — invisible
+        under a nearest-neighbor or constant sky (every fused-vs-oracle
+        bitwise test elsewhere), but a bilinear lookup is continuous in
+        direction, so the radiance inherits an O(1e-3) wobble.  Physically
+        meaningless; asserted tight, not bitwise."""
         rng = np.random.RandomState(7)
         img = rng.uniform(0.0, 2.0, (8, 16, 3)).astype(np.float32)
         b = builtin.SceneBuilder()
@@ -97,7 +104,8 @@ class TestFusedParity:
                                jnp.uint32(2)).stack(-1)
         fused = render_fused(scene, params, CFG, _corners(), jnp.uint32(2),
                              n_samples=1, block=BLOCK, interpret=True)
-        np.testing.assert_array_equal(np.asarray(oracle), np.asarray(fused))
+        np.testing.assert_allclose(np.asarray(oracle), np.asarray(fused),
+                                   atol=5e-3)
 
     def test_env_map_deferred_sky_multisample(self):
         img = np.ones((4, 8, 3), np.float32) * 0.5

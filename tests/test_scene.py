@@ -162,6 +162,57 @@ class TestSky:
         assert float(up.x[0]) == 1.0 and float(up.y[0]) == 0.0
         assert float(down.x[0]) == 0.0
 
+    def test_env_map_bilinear_filtering(self):
+        """GL_LINEAR parity (`texture2D`, `RayMarch.glsl:97`): a direction
+        whose v lands midway between two texel-row centers blends them
+        50/50; exact centers return exact texels."""
+        h, w = 8, 16
+        img = np.zeros((h, w, 3), np.float32)
+        img[3, :, 0] = 1.0     # row 3 red
+        img[4, :, 2] = 1.0     # row 4 blue
+        b = builtin.SceneBuilder()
+        m = b.diffuse([0.5, 0.5, 0.5])
+        b.sphere(m, [0, 0, 0], 1.0)
+        s = b.build(env_image=img)
+        p = s.init_params()
+
+        def dir_for_v(v):
+            # v = 1 - (y*0.5+0.5)  →  y = 1 - 2v; keep (x,z) on the unit
+            # circle so phi is well-defined
+            y = 1.0 - 2.0 * v
+            r = np.sqrt(max(0.0, 1.0 - y * y)) or 1e-6
+            return _vec((1,), r, y, 0.0)
+
+        # texel-row centers: v = (row + 0.5)/h
+        c3 = s.sky(p, dir_for_v(3.5 / h))
+        assert abs(float(c3.x[0]) - 1.0) < 1e-5 and float(c3.z[0]) < 1e-5
+        # midway between rows 3 and 4: 50/50 red/blue
+        mid = s.sky(p, dir_for_v(4.0 / h))
+        assert abs(float(mid.x[0]) - 0.5) < 1e-5
+        assert abs(float(mid.z[0]) - 0.5) < 1e-5
+        # quarter blend
+        q = s.sky(p, dir_for_v(3.75 / h))
+        assert abs(float(q.x[0]) - 0.75) < 1e-5
+        assert abs(float(q.z[0]) - 0.25) < 1e-5
+
+    def test_env_map_wraps_horizontally(self):
+        """phi is periodic: a direction just left of the u=0 seam blends
+        the LAST column with the first (GL_REPEAT), not a clamped edge."""
+        h, w = 4, 8
+        img = np.zeros((h, w, 3), np.float32)
+        img[:, 0, 0] = 1.0      # first column red
+        img[:, -1, 1] = 1.0     # last column green
+        b = builtin.SceneBuilder()
+        m = b.diffuse([0.5, 0.5, 0.5])
+        b.sphere(m, [0, 0, 0], 1.0)
+        s = b.build(env_image=img)
+        p = s.init_params()
+        # u=0 exactly: x half-texel left of column-0 center → blends
+        # columns w-1 and 0 equally
+        seam = s.sky(p, _vec((1,), 1.0, 0.0, 1e-9))
+        assert abs(float(seam.x[0]) - 0.5) < 1e-4
+        assert abs(float(seam.y[0]) - 0.5) < 1e-4
+
 
 class TestShippedScenes:
     def test_shipped_scenes_match_reference_set(self):
