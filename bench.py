@@ -88,8 +88,6 @@ def main():
             acc = acc + step(params, corners, jnp.uint32(s))
         jax.block_until_ready(acc)
         dt = time.perf_counter() - t0
-        if spp > 1:
-            dt = dt / spp * spp  # spp launches of 1 sample each
     else:
         times = []
         for s in (1, 2):
@@ -99,23 +97,45 @@ def main():
         dt = min(times)
 
     mpix_spp_s = size * size * spp / dt / 1e6
-    # rays actually traced: primary + bounced; conservative lower bound is
-    # pixels*spp (primary only), upper is *max_bounces.  Report primary-based
-    # path throughput as "rays" = pixels*spp*avg_segments with avg from the
-    # scene's termination profile measured offline (~2.1 for this scene).
-    rays_s = mpix_spp_s * 1e6 * 2.1
     result = {
         "metric": "Mpix*spp/s @ %dx%d (impl=%s, platform=%s)" % (
             size, size, impl, jax.devices()[0].platform),
         "value": round(mpix_spp_s, 4),
         "unit": "Mpix*spp/s",
         "vs_baseline": round(mpix_spp_s / BASELINE_MPIX_SPP_S, 4),
-        "rays_per_s_est": round(rays_s, 1),
         "wall_s": round(dt, 3),
         "spp": spp,
         "relax_omega": relax,
         "normal_taps": taps,
     }
+
+    # measured work profile (spectral transport): rays/s = samples/s x
+    # measured path segments; map-evals/s from the march-loop counters
+    # (utils.metrics.spectral_path_profile runs the production trace with
+    # its opt-in per-lane counters — nothing is estimated offline).
+    if mode == "spectral" and os.environ.get("BENCH_PROFILE", "1") == "1":
+        from raymarchrenderer_tpu.render.spectral_integrator import band_table
+        from raymarchrenderer_tpu.utils.metrics import spectral_path_profile
+        mats = band_table(scene)
+        prof = spectral_path_profile(scene, params, mats, cfg, corners,
+                                     jnp.uint32(1), n_samples=4)
+        samples_s = mpix_spp_s * 1e6
+        rays_s = samples_s * prof["segments_per_sample"]
+        evals_s = samples_s * prof["map_evals_per_sample"]
+        # VPU roofline accounting (docs/performance.md): the scene map is
+        # ~68 f32 VPU ops per eval (2 sphere SDFs ~12, 1 box SDF ~24,
+        # 2 opU folds + march-step overhead); peak assumes 8x128x4-lane
+        # VPU at ~0.94 GHz with FMA = ~7.7 TFLOP/s f32 (override
+        # VPU_PEAK_FLOPS for other chips).
+        flops_per_eval = float(os.environ.get("MAP_EVAL_FLOPS", "68"))
+        vpu_peak = float(os.environ.get("VPU_PEAK_FLOPS", "7.7e12"))
+        result.update({
+            "rays_per_s": round(rays_s, 1),
+            "map_evals_per_s": round(evals_s, 1),
+            "vpu_utilization_est": round(evals_s * flops_per_eval
+                                         / vpu_peak, 4),
+            **prof,
+        })
     print(json.dumps(result))
 
 

@@ -294,16 +294,40 @@ def cmd_repl(args) -> int:
                        "grid_width": "grid_w", "grid_height": "grid_h"}[verb]
                 state[key] = int(rest[0])
             elif verb == "render":
+                # the grid verbs DRIVE the schedule, like the reference's
+                # gridW/gridH feed the spiral walk (`CLI.cpp:95-126`,
+                # `Program.cpp:107-119`): every tile gets all samples,
+                # tiles in spiral order from the center
+                import time as _time
+
+                import numpy as _np
+
+                from raymarchrenderer_tpu.io import save_image
+                from raymarchrenderer_tpu.render.tiles import (
+                    ProgressiveRenderer)
                 ns = argparse.Namespace(
-                    scene=state["scene"], width=state["width"],
-                    height=state["height"], spp=state["spp"],
-                    max_steps=512, max_bounces=16, max_dist=1000.0, seed=0,
-                    eye=None, look_at=None, fov=None, direct_light=False,
-                    impl="auto", out="/tmp/_repl_render.png",
-                    checkpoint=None, resume=False, chunk=8, cpu=False,
-                    env_map=None, metrics=None, profile=None,
-                    spectral=False)
-                cmd_render(ns)
+                    scene=state["scene"], env_map=None, seed=0,
+                    width=state["width"], height=state["height"],
+                    spp=state["spp"], max_steps=512, max_bounces=16,
+                    max_dist=1000.0, eye=None, look_at=None, fov=None)
+                scene = _build_scene(ns)
+                cfg = _config(ns).replace(grid_width=state["grid_w"],
+                                          grid_height=state["grid_h"])
+                pr = ProgressiveRenderer(scene, scene.init_params(), cfg,
+                                         _camera(ns).corner_rays_flat())
+                t0 = _time.perf_counter()
+                n_tiles = state["grid_w"] * state["grid_h"]
+                done = [0]
+
+                def _tile_cb(tx, ty, accum):
+                    done[0] += 1
+                    print(f"  tile ({tx},{ty}) {done[0]}/{n_tiles}",
+                          flush=True)
+
+                img = pr.render_pass(spp=state["spp"], callback=_tile_cb)
+                dt = _time.perf_counter() - t0
+                print(f"render time: {dt:.2f}s")  # Program.cpp:296 parity
+                save_image("/tmp/_repl_render.png", _np.asarray(img))
                 state["img"] = "/tmp/_repl_render.png"
             elif verb == "save":
                 if state["img"] is None:

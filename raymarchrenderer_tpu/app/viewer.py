@@ -57,6 +57,11 @@ canvas { position: absolute; image-rendering: pixelated; }
   <label>image height</label><input id="h" type="number" value="512">
   <label>grid w×h</label><input id="grid" value="4x4">
   <label>max bounces</label><input id="bounces" type="number" value="8">
+  <label>env map (.hdr path, optional)</label><input id="env" value="">
+  <label><input id="spectral" type="checkbox" style="width:auto">
+    spectral (gen-3 wavelength transport)</label>
+  <label><input id="nee" type="checkbox" style="width:auto">
+    direct light (NEE soft shadows)</label>
   <button id="render">Render</button>
   <button id="stop" class="stop">Stop</button>
   <div id="status">idle</div>
@@ -102,7 +107,10 @@ document.getElementById('render').onclick = async () => {
     width: +document.getElementById('w').value,
     height: +document.getElementById('h').value,
     grid_width: +g[0] || 4, grid_height: +g[1] || 4,
-    max_bounces: +document.getElementById('bounces').value })});
+    max_bounces: +document.getElementById('bounces').value,
+    env_map: document.getElementById('env').value || null,
+    spectral: document.getElementById('spectral').checked,
+    direct_light: document.getElementById('nee').checked })});
 };
 document.getElementById('stop').onclick = () =>
   fetch('api/stop', { method: 'POST' });
@@ -185,11 +193,46 @@ class ViewerState:
                 self.spp = cfg.spp
                 self.rendering = True
                 self.error = ""
+            spectral = bool(req.get("spectral"))
+            direct_light = bool(req.get("direct_light"))
             # fused Pallas path on TPU (tile-aligned frames), oracle else
             import jax
             use_fused = (jax.devices()[0].platform == "tpu"
                          and cfg.width % 128 == 0 and cfg.height % 32 == 0)
-            if use_fused:
+            if spectral:
+                from raymarchrenderer_tpu.render.spectral_integrator import (
+                    _spectral_step, band_table)
+                mats = band_table(scene)
+                if use_fused:
+                    from raymarchrenderer_tpu.kernels.march import (
+                        render_progressive_fused_spectral)
+
+                    def _cb(s, state):
+                        with self.lock:
+                            self.accum = np.asarray(state[0])
+                            self.n = float(state[1])
+                        if self._cancel.is_set():
+                            raise KeyboardInterrupt  # cooperative cancel
+
+                    try:
+                        render_progressive_fused_spectral(
+                            scene, params, mats, cfg, corners, spp=cfg.spp,
+                            samples_per_launch=4, callback=_cb)
+                    except KeyboardInterrupt:
+                        pass
+                    return
+                state = (jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
+                         jnp.float32(0.0))
+                for s in range(cfg.spp):
+                    if self._cancel.is_set():
+                        break
+                    state = _spectral_step(scene, params, mats, cfg,
+                                           corners, state, jnp.uint32(s))
+                    with self.lock:
+                        self.accum = np.asarray(state[0])
+                        self.n = float(state[1])
+                return
+            if use_fused and not direct_light:
                 from raymarchrenderer_tpu.kernels.march import (
                     render_progressive_fused)
                 img, n = None, 0.0
@@ -209,7 +252,7 @@ class ViewerState:
                 if self._cancel.is_set():
                     break
                 state = _sample_step(scene, params, cfg, corners, state,
-                                     jnp.uint32(s))
+                                     jnp.uint32(s), direct_light)
                 with self.lock:
                     self.accum = np.asarray(state[0])
                     self.n = float(state[1])
@@ -222,16 +265,12 @@ class ViewerState:
 
     # -- encoded outputs -----------------------------------------------------
     def png_bytes(self) -> bytes:
-        from raymarchrenderer_tpu.io.image import save_png
+        from raymarchrenderer_tpu.io.image import png_bytes
         with self.lock:
             img = None if self.accum is None else self.accum.copy()
         if img is None:
             img = np.zeros((16, 16, 3), np.float32)
-        import tempfile
-        with tempfile.TemporaryDirectory() as d:
-            p = os.path.join(d, "v.png")
-            save_png(p, img)
-            return open(p, "rb").read()
+        return png_bytes(img)  # in-memory encode — no temp file per poll
 
     def state_json(self) -> bytes:
         with self.lock:

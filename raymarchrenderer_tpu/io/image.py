@@ -80,13 +80,12 @@ def save_bmp(path: str, img_linear: np.ndarray) -> None:
         f.write(header + b"".join(rows))
 
 
-def save_png(path: str, img_linear: np.ndarray) -> None:
-    """Minimal zlib PNG encoder (8-bit RGB, sRGB-encoded)."""
+def png_bytes(img_linear: np.ndarray) -> bytes:
+    """Encode linear float32 → PNG bytes in memory (8-bit RGB, one sRGB
+    OETF).  The pure-Python encoder; `save_png` prefers the native one for
+    files, but in-memory consumers (the HTTP viewer) use this directly —
+    no temp-file round-trip per poll."""
     u8 = to_srgb_u8(img_linear)
-    native = _native_encoder()
-    if native is not None:
-        native.write_png(path, u8)
-        return
     h, w, _ = u8.shape
 
     def chunk(tag: bytes, data: bytes) -> bytes:
@@ -95,10 +94,18 @@ def save_png(path: str, img_linear: np.ndarray) -> None:
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     raw = b"".join(b"\x00" + u8[r].tobytes() for r in range(h))
-    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def save_png(path: str, img_linear: np.ndarray) -> None:
+    """Minimal zlib PNG encoder (8-bit RGB, sRGB-encoded)."""
+    native = _native_encoder()
+    if native is not None:
+        native.write_png(path, to_srgb_u8(img_linear))
+        return
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(png_bytes(img_linear))
 
 
 def save_npy(path: str, img_linear: np.ndarray) -> None:

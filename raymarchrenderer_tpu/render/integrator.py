@@ -41,15 +41,27 @@ _PI = 3.14159265358979323846
 
 
 def march(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
-          dist_mult, active):
+          dist_mult, active, with_steps: bool = False, t_max=None):
     """Sphere trace: returns (t, mat_index, hit_mask).
 
     Parity with `march` (`RayMarch.glsl:233-257`): per step evaluate
     map(o + t d) * dist_mult; hit when < hit_eps (returning the *pre-step*
     t); miss when t >= max_dist; advance t += dist * step_multiply; give up
-    after max_steps → miss."""
+    after max_steps → miss.
+
+    `with_steps=True` additionally returns the per-lane count of map evals
+    spent (a 4th output) — the measured-work hook for `utils.metrics` /
+    `bench.py`; the flag is trace-time static so the production path
+    compiles without the extra carry.
+
+    `t_max` (scalar or per-lane f32, default `cfg.max_dist`) caps the
+    marched distance: lanes reaching it report a miss with t == t_max.
+    Shadow rays pass the light distance so the visibility march stops AT
+    the light instead of burning the full `max_steps` budget."""
     if cfg.relax_omega > 1.0:
-        return _march_relaxed(scene, params, cfg, o, d, dist_mult, active)
+        return _march_relaxed(scene, params, cfg, o, d, dist_mult, active,
+                              with_steps, t_max)
+    tmax = cfg.max_dist if t_max is None else t_max
     shape = jnp.shape(o.x)
     t0 = jnp.zeros(shape, jnp.float32)
     mid0 = jnp.full(shape, -1, jnp.int32)
@@ -58,35 +70,47 @@ def march(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
     # runs verbatim inside the fused kernel (kernels/march.py)
     hit0 = jnp.zeros(shape, jnp.int32)
     done0 = 1 - active.astype(jnp.int32)
+    steps0 = jnp.zeros(shape, jnp.int32)
 
     def cond(s):
-        _, _, _, done, step = s
+        _, _, _, done, step = s[:5]
         return (step < cfg.max_steps) & (jnp.min(done) < 1)
 
     def body(s):
-        t, mid, hitm, done, step = s
+        if with_steps:
+            t, mid, hitm, done, step, steps = s
+        else:
+            t, mid, hitm, done, step = s
         p = o + d * t
         dist, m = scene.map(params, p, cfg.max_dist)
         dist = dist * dist_mult
         live = done < 1
         is_hit = (dist < cfg.hit_eps) & live
-        is_miss = (t >= cfg.max_dist) & live & ~is_hit
+        is_miss = (t >= tmax) & live & ~is_hit
         mid = jnp.where(is_hit, m, mid)
         hitm = hitm | is_hit.astype(jnp.int32)
         done = done | is_hit.astype(jnp.int32) | is_miss.astype(jnp.int32)
         t = jnp.where(done > 0, t, t + dist * cfg.step_multiply)
+        if with_steps:
+            return t, mid, hitm, done, step + 1, steps + live.astype(jnp.int32)
         return t, mid, hitm, done, step + 1
 
-    t, mid, hitm, _, _ = lax.while_loop(
-        cond, body, (t0, mid0, hit0, done0, jnp.int32(0)))
+    init = (t0, mid0, hit0, done0, jnp.int32(0))
+    if with_steps:
+        out = lax.while_loop(cond, body, init + (steps0,))
+    else:
+        out = lax.while_loop(cond, body, init)
+    t, mid, hitm = out[0], out[1], out[2]
     hit_b = hitm > 0
-    t = jnp.where(hit_b, t, cfg.max_dist)
+    t = jnp.where(hit_b, t, tmax)
     mid = jnp.where(hit_b, mid, -1)
+    if with_steps:
+        return t, mid, hit_b, out[5]
     return t, mid, hit_b
 
 
 def _march_relaxed(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
-                   dist_mult, active):
+                   dist_mult, active, with_steps: bool = False, t_max=None):
     """Safeguarded over-relaxed sphere trace (`cfg.relax_omega` > 1).
 
     Same contract as `march`: returns (t, mat_index, hit_mask) with hits in
@@ -102,20 +126,26 @@ def _march_relaxed(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
     done0 = 1 - active.astype(jnp.int32)
     om0 = jnp.full(shape, cfg.relax_omega, jnp.float32)
     zero = jnp.zeros(shape, jnp.float32)
+    tmax = cfg.max_dist if t_max is None else t_max
+
+    steps0 = jnp.zeros(shape, jnp.int32)
 
     def cond(s):
         done, step = s[3], s[4]
         return (step < cfg.max_steps) & (jnp.min(done) < 1)
 
     def body(s):
-        t, mid, hitm, done, step, omega, prev_r, step_len = s
+        if with_steps:
+            t, mid, hitm, done, step, omega, prev_r, step_len, steps = s
+        else:
+            t, mid, hitm, done, step, omega, prev_r, step_len = s
         p = o + d * t
         dist, m = scene.map(params, p, cfg.max_dist)
         dist = dist * dist_mult
         live = done < 1
         fail = live & (omega > 1.0) & (dist + prev_r < step_len)
         is_hit = live & ~fail & (dist < cfg.hit_eps)
-        is_miss = live & ~fail & ~is_hit & (t >= cfg.max_dist)
+        is_miss = live & ~fail & ~is_hit & (t >= tmax)
         mid = jnp.where(is_hit, m, mid)
         hitm = hitm | is_hit.astype(jnp.int32)
         done = done | is_hit.astype(jnp.int32) | is_miss.astype(jnp.int32)
@@ -125,13 +155,22 @@ def _march_relaxed(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
         prev_r = jnp.where(adv, jnp.abs(dist), prev_r)
         step_len = jnp.where(adv, jnp.abs(new_len), step_len)
         t = jnp.where(adv, t + new_len, t)
-        return t, mid, hitm, done, step + 1, omega, prev_r, step_len
+        out = (t, mid, hitm, done, step + 1, omega, prev_r, step_len)
+        if with_steps:
+            return out + (steps + live.astype(jnp.int32),)
+        return out
 
-    t, mid, hitm, _, _, _, _, _ = lax.while_loop(
-        cond, body, (t0, mid0, hit0, done0, jnp.int32(0), om0, zero, zero))
+    init = (t0, mid0, hit0, done0, jnp.int32(0), om0, zero, zero)
+    if with_steps:
+        out = lax.while_loop(cond, body, init + (steps0,))
+    else:
+        out = lax.while_loop(cond, body, init)
+    t, mid, hitm = out[0], out[1], out[2]
     hit_b = hitm > 0
-    t = jnp.where(hit_b, t, cfg.max_dist)
+    t = jnp.where(hit_b, t, tmax)
     mid = jnp.where(hit_b, mid, -1)
+    if with_steps:
+        return t, mid, hit_b, out[8]
     return t, mid, hit_b
 
 
@@ -201,10 +240,12 @@ def _direct_light(scene: Scene, params, cfg: RenderConfig, hitp: Vec3,
         ones = jnp.ones(jnp.shape(hitp.x), jnp.float32)
         # Shadow visibility is binary — detach its march so reverse-mode
         # never tries to transpose the while_loop (gradients still flow via
-        # the cos/falloff/albedo terms).
+        # the cos/falloff/albedo terms).  t_max = the light distance: the
+        # visibility march stops AT the light instead of burning the whole
+        # max_steps budget (sd == dist_l on an unobstructed ray → lit).
         sd, _, _ = march(scene, lax.stop_gradient(params), cfg,
                          lax.stop_gradient(o_sh), lax.stop_gradient(ldir),
-                         ones, mask)
+                         ones, mask, t_max=lax.stop_gradient(dist_l))
         lit = sd >= dist_l
         cos_t = jnp.maximum(ldir.dot(normal), 0.0)
         fall = lpower / jnp.maximum(dist_l * dist_l, 1e-8)

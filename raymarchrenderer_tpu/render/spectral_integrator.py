@@ -91,18 +91,32 @@ def _apply_band(wl, power, u, min_w, max_w, mat_p):
 
 
 def trace_spectral(scene: Scene, params, mats: SpectralMaterials,
-                   cfg: RenderConfig, eye: Vec3, d0: Vec3, px, py, sample):
+                   cfg: RenderConfig, eye: Vec3, d0: Vec3, px, py, sample,
+                   profile: bool = False):
     """Gen-3 `trace` (`RayMarch3.glsl:347-444`), masked over the pixel batch.
 
-    Returns (wavelength, power) per pixel."""
+    Returns (wavelength, power) per pixel.  `profile=True` (trace-time
+    static) additionally returns per-lane work counters
+    (segments marched, map evals in the march loops, hits shaded) — the
+    measured numbers behind `bench.py`'s rays/s, using THIS loop, not a
+    restatement."""
     shape = jnp.shape(d0.x)
     sky_min, sky_max, sky_p = 390.0, 830.0, jnp.float32(cfg.sky_power)
 
     def body(b, st):
-        o, d, wl, power, active_i = st
+        if profile:
+            o, d, wl, power, active_i, segs, msteps, hits = st
+        else:
+            o, d, wl, power, active_i = st
         active = active_i > 0  # i32 carry: i1 vectors don't legalize in Mosaic
         ones = jnp.ones(shape, jnp.float32)
-        t, mid, hitm = march(scene, params, cfg, o, d, ones, active)
+        if profile:
+            t, mid, hitm, steps = march(scene, params, cfg, o, d, ones,
+                                        active, with_steps=True)
+            segs = segs + active.astype(jnp.int32)
+            msteps = msteps + steps
+        else:
+            t, mid, hitm = march(scene, params, cfg, o, d, ones, active)
         hitp = o + d * t
         normal = get_normal(scene, params, cfg, hitp)
         rng = RNGStream(cfg.seed, px, py, sample, b)
@@ -112,6 +126,8 @@ def trace_spectral(scene: Scene, params, mats: SpectralMaterials,
         u = rng.next()
         hit_active = active & hitm
         miss_active = active & ~hitm
+        if profile:
+            hits = hits + hit_active.astype(jnp.int32)
 
         # surface / emitter band filter
         wl_h, pw_h, absorbed = _apply_band(wl, power, u, m_min, m_max, m_pow)
@@ -131,15 +147,24 @@ def trace_spectral(scene: Scene, params, mats: SpectralMaterials,
         o2 = hitp + normal * cfg.surface_offset  # 0.002, RayMarch3.glsl:405
         o = vselect(new_active, o2, o)
         d = vselect(new_active, new_dir, d)
-        return o, d, new_wl, new_power, new_active.astype(jnp.int32)
+        out = (o, d, new_wl, new_power, new_active.astype(jnp.int32))
+        if profile:
+            return out + (segs, msteps, hits)
+        return out
 
     init = (eye, d0, jnp.zeros(shape, jnp.float32),
             jnp.ones(shape, jnp.float32), jnp.ones(shape, jnp.int32))
+    if profile:
+        zi = jnp.zeros(shape, jnp.int32)
+        init = init + (zi, zi, zi)
     # peel bounce 0 (Mosaic replicated-carry relayout — see trace_rgb)
     st0 = body(0, init)
-    _, _, wl, power, still = lax.fori_loop(1, cfg.max_bounces, body, st0)
+    out = lax.fori_loop(1, cfg.max_bounces, body, st0)
+    wl, power = out[2], out[3]
     # paths that exhaust maxBounces keep their (possibly unset) wavelength —
     # wl==0 maps to black, exactly like the GLSL uint 0 → wavelengthToColor(0)
+    if profile:
+        return wl, power, out[5], out[6], out[7]
     return wl, power
 
 

@@ -65,9 +65,9 @@ class RenderStats:
 
 def _primary_profile(scene: Scene, params, cfg: RenderConfig, corners,
                      sample):
-    """March the primary segment once more, carrying a step counter —
-    the march loop itself is untouched production code apart from the
-    counter (a re-statement of `march` with instrumented carry)."""
+    """March the primary segment through the PRODUCTION march with its
+    opt-in step counter (`march(..., with_steps=True)`)."""
+    from raymarchrenderer_tpu.render.integrator import march
     px, py = pixel_grid(cfg.width, cfg.height)
     rng = RNGStream(cfg.seed, px, py, sample, jnp.uint32(1 << 20))
     d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
@@ -75,48 +75,57 @@ def _primary_profile(scene: Scene, params, cfg: RenderConfig, corners,
     shape = (cfg.height, cfg.width)
     o = Vec3(jnp.broadcast_to(e.x, shape), jnp.broadcast_to(e.y, shape),
              jnp.broadcast_to(e.z, shape))
+    ones = jnp.ones(shape, jnp.float32)
+    active = jnp.ones(shape, bool)
+    _, _, hit_b, steps = march(scene, params, cfg, o, d, ones, active,
+                               with_steps=True)
+    return hit_b.astype(jnp.int32), steps
 
-    t0 = jnp.zeros(shape, jnp.float32)
-    done0 = jnp.zeros(shape, jnp.int32)
-    hit0 = jnp.zeros(shape, jnp.int32)
-    steps0 = jnp.zeros(shape, jnp.int32)
 
-    def cond(s):
-        done, step = s[2], s[4]
-        return (step < cfg.max_steps) & (jnp.min(done) < 1)
+def spectral_path_profile(scene: Scene, params, mats, cfg: RenderConfig,
+                          corners, sample, n_samples: int = 4) -> dict:
+    """Measured whole-path work profile of the gen-3 spectral transport —
+    the numbers behind `bench.py`'s rays/s and map-evals/s (replacing the
+    former hardcoded avg-segments estimate).
 
-    relax = cfg.relax_omega > 1.0
-    om0 = jnp.full(shape, max(cfg.relax_omega, 1.0), jnp.float32)
-    z = jnp.zeros(shape, jnp.float32)
+    Runs `trace_spectral(profile=True)` (the production loop carrying
+    per-lane counters) for `n_samples` samples and returns per-sample
+    means: path segments marched, march-loop map evals, shaded hits, and
+    the derived total map-eval count (march + normal-stencil taps per
+    shaded hit; `normal_taps=0` ≈ 2 eval-equivalents via the vjp sweep)."""
+    from raymarchrenderer_tpu.render.spectral_integrator import trace_spectral
 
-    def body(s):
-        t, hitm, done, steps, step, omega, prev_r, step_len = s
-        p = o + d * t
-        dist = scene.map_dist(params, p, cfg.max_dist)
-        live = done < 1
-        if relax:
-            fail = live & (omega > 1.0) & (dist + prev_r < step_len)
-        else:
-            fail = jnp.zeros(shape, bool)
-        is_hit = (dist < cfg.hit_eps) & live & ~fail
-        is_miss = (t >= cfg.max_dist) & live & ~is_hit & ~fail
-        hitm = hitm | is_hit.astype(jnp.int32)
-        done = done | is_hit.astype(jnp.int32) | is_miss.astype(jnp.int32)
-        steps = steps + live.astype(jnp.int32)
-        adv = live & (done < 1)
-        if relax:
-            new_len = jnp.where(fail, step_len * (1.0 - omega), dist * omega)
-            omega = jnp.where(fail, 1.0, omega)
-            prev_r = jnp.where(adv, jnp.abs(dist), prev_r)
-            step_len = jnp.where(adv, jnp.abs(new_len), step_len)
-            t = jnp.where(adv, t + new_len, t)
-        else:
-            t = jnp.where(adv, t + dist * cfg.step_multiply, t)
-        return t, hitm, done, steps, step + 1, omega, prev_r, step_len
+    shape = (cfg.height, cfg.width)
+    px, py = pixel_grid(cfg.width, cfg.height)
+    e = eye_vec(corners)
+    eye = Vec3(jnp.broadcast_to(e.x, shape), jnp.broadcast_to(e.y, shape),
+               jnp.broadcast_to(e.z, shape))
 
-    _, hitm, _, steps, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (t0, hit0, done0, steps0, jnp.int32(0), om0, z, z))
-    return hitm, steps
+    @jax.jit
+    def one(s):
+        rng = RNGStream(cfg.seed, px, py, s, jnp.uint32(1 << 20))
+        d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
+        _, _, segs, msteps, hits = trace_spectral(
+            scene, params, mats, cfg, eye, d, px, py, s, profile=True)
+        n = float(cfg.width * cfg.height)
+        return (jnp.sum(segs) / n, jnp.sum(msteps) / n, jnp.sum(hits) / n)
+
+    acc = np.zeros(3)
+    base = int(sample)
+    for k in range(n_samples):
+        acc += np.asarray(jax.block_until_ready(one(jnp.uint32(base + k))))
+    segs, msteps, hits = acc / n_samples
+    taps = cfg.normal_taps if cfg.normal_taps > 0 else 2
+    # getNormal runs once per bounce ITERATION for the whole tile; per-lane
+    # useful work is one stencil per shaded hit (taps map evals each)
+    map_evals = msteps + hits * taps
+    return {
+        "segments_per_sample": round(float(segs), 4),
+        "march_map_evals_per_sample": round(float(msteps), 4),
+        "hits_per_sample": round(float(hits), 4),
+        "map_evals_per_sample": round(float(map_evals), 4),
+        "profile_samples": n_samples,
+    }
 
 
 def instrumented_sample(scene: Scene, params, cfg: RenderConfig, corners,

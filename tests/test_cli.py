@@ -30,6 +30,10 @@ def test_repl_render_and_save(tmp_path, monkeypatch, capsys):
     assert out.exists() and out.stat().st_size > 0
     text = capsys.readouterr().out
     assert "unknown verb: bogus_verb" in text
+    # the grid verbs drive the schedule (`CLI.cpp:95-126` parity): a 2x2
+    # grid renders 4 spiral tiles
+    assert "tile (" in text
+    assert "4/4" in text
 
 
 def test_repl_save_before_render(monkeypatch, capsys):

@@ -75,3 +75,23 @@ def test_stop_preserves_partial(server):
     st = json.loads(_get(base, "/api/state"))
     assert not st["rendering"]
     assert st["n"] >= 1  # the partial accumulation survives (Escape parity)
+
+
+def test_spectral_and_nee_render_modes(server):
+    """The panel's spectral + direct-light toggles drive real renders
+    (VERDICT r1: surface spectral/NEE in the viewer controls)."""
+    base, state = server
+    for req in ({"spectral": True}, {"direct_light": True}):
+        _post(base, "/api/render", {
+            "scene": "sphere_on_floor", "spp": 2, "width": 24,
+            "height": 24, "max_steps": 48, "max_bounces": 2,
+            "max_dist": 100.0, **req})
+        deadline = time.time() + 120
+        st = {}
+        while time.time() < deadline:
+            st = json.loads(_get(base, "/api/state"))
+            if st["n"] >= 2 and not st["rendering"]:
+                break
+            time.sleep(0.3)
+        assert st.get("error") == "", (req, st)
+        assert st["n"] == 2.0, req
