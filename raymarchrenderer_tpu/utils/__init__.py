@@ -1,5 +1,5 @@
 from raymarchrenderer_tpu.utils.metrics import (  # noqa: F401
-    RenderStats, instrumented_sample, MetricsLogger,
+    RenderStats, instrumented_sample, MetricsLogger, spectral_path_profile,
 )
 from raymarchrenderer_tpu.utils.profiling import (  # noqa: F401
     timed_block, trace_to,
