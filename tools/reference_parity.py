@@ -39,7 +39,9 @@ parity can and does mean here.
 
 Writes output/reference_parity.png (side-by-side) and prints one JSON
 line.  Knobs: PARITY_SPP (default 2048 on TPU / 64 elsewhere),
-PARITY_REF (default 2015-07-12_23-07).
+PARITY_REF (default 2015-07-12_23-07), PARITY_SCALE (default 1 —
+integer downscale factor; the reference BMP is block-averaged and we
+render at the reduced size, for CPU-budget runs).
 """
 from __future__ import annotations
 
@@ -109,6 +111,12 @@ def main():
                              "2048" if platform == "tpu" else "64"))
     ref_name = os.environ.get("PARITY_REF", "2015-07-12_23-07")
     ref = load_bmp(os.path.join(REF_DIR, ref_name + ".bmp"))
+    f = int(os.environ.get("PARITY_SCALE", "1"))
+    if f > 1:
+        H, W = ref.shape[:2]
+        h, w = H // f, W // f
+        ref = ref[:h * f, :w * f].reshape(h, f, w, f, 3) \
+            .mean(axis=(1, 3)).astype(np.uint8)
     h, w = ref.shape[:2]
 
     scene = load_scene(REF_SCENE)
