@@ -16,6 +16,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
@@ -192,3 +193,68 @@ class TestVolumeScatterLaw:
         # a scattering medium redistributes light: the two renders differ
         # materially over the sphere silhouette
         assert np.abs(d - th).max() > 0.05
+
+
+class TestMarchInstrumentation:
+    """march(with_steps/t_max) invariants: the profiling hook must be a
+    pure observer, and the shadow-ray cap must only stop, never move, the
+    march."""
+
+    def _march_setup(self, relax):
+        from raymarchrenderer_tpu.render.integrator import march
+        scene = SceneBuilder()
+        m = scene.diffuse([0.5, 0.5, 0.5])
+        scene.sphere(m, [0, 0, 5], 1.0)
+        s = scene.build()
+        p = s.init_params()
+        cfg = RenderConfig(width=8, height=8, max_steps=96, max_dist=50.0,
+                           relax_omega=relax)
+        shape = (16,)
+        o = Vec3.full(shape, 0.0, 0.0, 0.0)
+        # half the lanes aim at the sphere, half miss upward
+        import jax.numpy as jnp
+        zs = jnp.where(jnp.arange(16) % 2 == 0, 1.0, 0.0)
+        ys = 1.0 - zs
+        d = Vec3(jnp.zeros(shape), ys.astype(jnp.float32),
+                 zs.astype(jnp.float32))
+        ones = jnp.ones(shape, jnp.float32)
+        act = jnp.ones(shape, bool)
+        return march, s, p, cfg, o, d, ones, act
+
+    @pytest.mark.parametrize("relax", [0.0, 1.9])
+    def test_with_steps_is_pure_observer(self, relax):
+        march, s, p, cfg, o, d, ones, act = self._march_setup(relax)
+        t0, m0, h0 = march(s, p, cfg, o, d, ones, act)
+        t1, m1, h1, steps = march(s, p, cfg, o, d, ones, act,
+                                  with_steps=True)
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+        st = np.asarray(steps)
+        assert (st >= 1).all() and (st <= cfg.max_steps).all()
+
+    @pytest.mark.parametrize("relax", [0.0, 1.9])
+    def test_t_max_caps_misses_without_moving_hits(self, relax):
+        march, s, p, cfg, o, d, ones, act = self._march_setup(relax)
+        t0, m0, h0 = march(s, p, cfg, o, d, ones, act)
+        cap = 7.5
+        t1, m1, h1 = march(s, p, cfg, o, d, ones, act, t_max=cap)
+        hit = np.asarray(h0)
+        # hits (sphere at z=5, first contact t=4) are before the cap:
+        # identical
+        np.testing.assert_array_equal(np.asarray(t0)[hit],
+                                      np.asarray(t1)[hit])
+        assert np.asarray(h1)[hit].all()
+        # misses stop AT the cap and report miss
+        assert (~np.asarray(h1)[~hit]).all()
+        np.testing.assert_array_equal(np.asarray(t1)[~hit], cap)
+
+    def test_t_max_shortens_shadow_march_work(self):
+        """The NEE rationale: capped marches spend fewer map evals on
+        unobstructed rays."""
+        march, s, p, cfg, o, d, ones, act = self._march_setup(0.0)
+        _, _, _, full = march(s, p, cfg, o, d, ones, act, with_steps=True)
+        _, _, _, capped = march(s, p, cfg, o, d, ones, act,
+                                with_steps=True, t_max=3.0)
+        miss = ~np.asarray(march(s, p, cfg, o, d, ones, act)[2])
+        assert np.asarray(capped)[miss].mean() < np.asarray(full)[miss].mean()
