@@ -48,10 +48,14 @@ def main():
     relax = float(os.environ.get("BENCH_RELAX", "1.9"))
     taps = int(os.environ.get("BENCH_NORMAL_TAPS", "4"))
     mode = os.environ.get("BENCH_MODE", "spectral")
+    # BENCH_DISPERSION=1: gen-1 separateChannels (`RayMarch.glsl:580-598`)
+    # folded into the megakernel regen loop — rgb mode only
+    dispersion = (os.environ.get("BENCH_DISPERSION", "0") == "1"
+                  and mode == "rgb")
     scene = sphere_on_floor()
     params = scene.init_params()
     cfg = RenderConfig(width=size, height=size, relax_omega=relax,
-                       normal_taps=taps)
+                       normal_taps=taps, separate_channels=dispersion)
     corners = Camera(aspect=size / size).corner_rays_flat()
 
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -70,7 +74,7 @@ def main():
         # accumulate in VMEM, HBM sees one write per tile
         step = jax.jit(lambda p, c, s: render_fused(
             scene, p, cfg, c, s, n_samples=spp))
-        impl = "pallas-mega"
+        impl = "pallas-mega-dispersion" if dispersion else "pallas-mega"
     else:
         from raymarchrenderer_tpu.render.integrator import render_sample
         step = jax.jit(lambda p, c, s: render_sample(
@@ -107,6 +111,7 @@ def main():
         "spp": spp,
         "relax_omega": relax,
         "normal_taps": taps,
+        "dispersion": dispersion,
     }
 
     # measured work profile (spectral transport): rays/s = samples/s x

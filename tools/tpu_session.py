@@ -105,6 +105,14 @@ T0 = time.perf_counter()
 
 if __name__ == "__main__":
     import jax
+    # persistent compile cache: the tunnel's first-RPC stalls are the
+    # bottleneck, so never compile the same program twice across sessions
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:
+        log(f"compile cache unavailable: {e}")
     log(f"devices: {jax.devices()}")
     for name in STAGES:
         fn = {"bench": stage_bench, "parity": stage_parity,
