@@ -52,7 +52,29 @@ def main():
     # folded into the megakernel regen loop — rgb mode only
     dispersion = (os.environ.get("BENCH_DISPERSION", "0") == "1"
                   and mode == "rgb")
-    scene = sphere_on_floor()
+    # BENCH_ENV=1: same geometry under an equirect env map (the
+    # `veranda_1k.hdr` path, `Graphics.cpp:287`) — exercises the deferred
+    # -sky wavefront kernel with K-banked miss events + bilinear lookups.
+    # The reference's HDR asset is stripped from the mount, so a synthetic
+    # 512x1024 gradient sky stands in (identical lookup work).
+    use_env = os.environ.get("BENCH_ENV", "0") == "1" and mode == "rgb"
+    if use_env:
+        import numpy as _np
+
+        from raymarchrenderer_tpu.scene.builtin import SceneBuilder
+        v = _np.linspace(0.0, 1.0, 512)[:, None, None]
+        env_img = (_np.array([0.3, 0.5, 1.0]) * (1 - v)
+                   + _np.array([1.0, 0.6, 0.2]) * v)
+        env_img = _np.broadcast_to(env_img, (512, 1024, 3)) \
+            .astype(_np.float32)
+        b = SceneBuilder()
+        m_floor = b.diffuse([0.8, 0.8, 0.8])
+        m_ball = b.diffuse([0.2, 0.8, 0.3])
+        b.box(m_floor, [0, -0.025, 0], [32, 0.05, 32])
+        b.sphere(m_ball, [0, 1, 0], 1.0)
+        scene = b.build(env_image=env_img)
+    else:
+        scene = sphere_on_floor()
     params = scene.init_params()
     cfg = RenderConfig(width=size, height=size, relax_omega=relax,
                        normal_taps=taps, separate_channels=dispersion)
@@ -74,7 +96,9 @@ def main():
         # accumulate in VMEM, HBM sees one write per tile
         step = jax.jit(lambda p, c, s: render_fused(
             scene, p, cfg, c, s, n_samples=spp))
-        impl = "pallas-mega-dispersion" if dispersion else "pallas-mega"
+        impl = ("pallas-env-wavefront" if use_env
+                else "pallas-mega-dispersion" if dispersion
+                else "pallas-mega")
     else:
         from raymarchrenderer_tpu.render.integrator import render_sample
         step = jax.jit(lambda p, c, s: render_sample(

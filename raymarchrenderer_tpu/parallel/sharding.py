@@ -230,6 +230,58 @@ def _train_step_fn(scene: Scene, cfg: RenderConfig, mesh: Mesh, spp: int,
                       check_vma=False))
 
 
+def train_loss_sharded(scene: Scene, params, cfg: RenderConfig, corners,
+                       target, mesh: Mesh, spp: int,
+                       direct_light: bool = False,
+                       march_impl: str = "oracle",
+                       interpret: bool = False):
+    """The FORWARD half of `train_step_sharded` alone (sharded render +
+    loss, no grad/update) — the denominator for an honest
+    backward-overhead ratio: it runs the identical differentiable-mode
+    trace the train step differentiates, not the (faster) megakernel."""
+    fn = _train_loss_fn(scene, cfg, mesh, spp, direct_light, march_impl,
+                        interpret)
+    return fn(params, corners, target)
+
+
+@functools.lru_cache(maxsize=64)
+def _train_loss_fn(scene: Scene, cfg: RenderConfig, mesh: Mesh, spp: int,
+                   direct_light: bool, march_impl: str, interpret: bool):
+    n_tile = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+    if cfg.height % n_tile or spp % n_spp:
+        raise ValueError("height/spp must divide the mesh axes")
+    rows_per = cfg.height // n_tile
+    spp_per = spp // n_spp
+    norm = jnp.float32(cfg.height * cfg.width * 3)
+
+    def shard_fn(params, corners, target):
+        ti = lax.axis_index("tile")
+        si = lax.axis_index("spp")
+        origin = jnp.stack([jnp.int32(0), (ti * rows_per).astype(jnp.int32)])
+
+        def body(k, acc):
+            s = (si * spp_per + k).astype(jnp.uint32)
+            color = render_patch(scene, params, cfg, corners, origin,
+                                 (rows_per, cfg.width), s, direct_light,
+                                 differentiable=True, march_impl=march_impl,
+                                 interpret=interpret)
+            return acc + color.stack(-1)
+
+        acc = lax.fori_loop(
+            0, spp_per, body,
+            jnp.zeros((rows_per, cfg.width, 3), jnp.float32))
+        img = lax.psum(acc, "spp") / jnp.float32(spp)
+        local = jnp.sum((img - target) ** 2)
+        return lax.psum(local, "tile") / norm
+
+    return jax.jit(
+        jax.shard_map(shard_fn, mesh=mesh,
+                      in_specs=(P(), P(), P("tile", None, None)),
+                      out_specs=P(),
+                      check_vma=False))
+
+
 def gather_image(img) -> np.ndarray:
     """Materialize a (possibly sharded) device image on the host —
     the `glReadPixels` analogue (`Graphics.cpp:759`); across processes use

@@ -40,7 +40,7 @@ def main():
     from raymarchrenderer_tpu.core.camera import Camera
     from raymarchrenderer_tpu.kernels.march import render_fused
     from raymarchrenderer_tpu.parallel.sharding import (
-        render_replicated_params, train_step_sharded)
+        render_replicated_params, train_loss_sharded, train_step_sharded)
     from raymarchrenderer_tpu.render.config import RenderConfig
     from raymarchrenderer_tpu.scene.builtin import sphere_on_floor
 
@@ -87,9 +87,20 @@ def main():
             loss, p = step(p, k + 1)
             jax.block_until_ready((loss, p))
             times.append(time.perf_counter() - t0)
+        # forward HALF of the same program (identical differentiable-mode
+        # trace + loss, no grad): the honest backward-overhead denominator
+        jax.block_until_ready(train_loss_sharded(
+            scene, params, cfg, corners, target, mesh, spp=spp,
+            march_impl="fused", interpret=interpret))
+        t0 = time.perf_counter()
+        jax.block_until_ready(train_loss_sharded(
+            scene, p, cfg, corners, target, mesh, spp=spp,
+            march_impl="fused", interpret=interpret))
+        loss_dt = time.perf_counter() - t0
     dt = min(times)
     mpix_spp_s = size * size * spp / dt / 1e6
     fwd_rate = size * size * spp / fwd_dt / 1e6
+    loss_rate = size * size * spp / loss_dt / 1e6
     print(json.dumps({
         "metric": "train-step Mpix*spp/s @ %dx%d spp=%d bounces=%d "
                   "(mesh=%dx%d, %s)" % (size, size, spp, bounces, tile,
@@ -97,7 +108,10 @@ def main():
         "value": round(mpix_spp_s, 3),
         "unit": "Mpix*spp/s",
         "forward_fused_mpix_spp_s": round(fwd_rate, 3),
-        "train_vs_forward": round(fwd_rate / mpix_spp_s, 2),
+        "forward_loss_mpix_spp_s": round(loss_rate, 3),
+        "train_vs_megakernel_forward": round(fwd_rate / mpix_spp_s, 2),
+        "backward_overhead_vs_own_forward": round(loss_rate / mpix_spp_s, 2),
+        "remat": remat,
         "loss": round(float(loss), 6),
         "wall_s": round(dt, 3),
     }))
