@@ -11,93 +11,116 @@ so by the implicit function theorem
 
     dt*/dθ = -f_θ / (∇f·d),  dt*/do = -∇f / (∇f·d),  dt*/dd = -t* ∇f / (∇f·d)
 
-evaluated at the (detached) hit point.  The forward pass is the plain masked
-`while_loop` march (zero memory overhead, full early-out); the backward pass
-is ONE extra SDF evaluation's VJP.  Missed rays get zero gradient (their t is
-clamped to max_dist — a constant).
+evaluated at the (detached) hit point.  Missed rays get zero gradient (their
+t is clamped to max_dist — a constant).
+
+Implementation note (why a surrogate instead of `jax.custom_vjp`): the
+gradient is attached by the standard zero-valued reparameterization
+
+    t_out = t_detached - (f(o + d·t_detached; θ) - sg(f)) / sg(∇f·d)
+
+whose value is exactly t_detached (the residual term is identically zero)
+and whose derivatives are the IFT formulas above.  Expressed this way the
+march itself is a *fully detached* primal computation whose outputs are
+tagged with `checkpoint_name`, so a `jax.checkpoint` over the render with
+policy `save_only_these_names("march_t", ...)` stores the three cheap
+(t, mid, hit) planes and the backward replay DCEs the entire march loop —
+the cost center of both passes (`RayMarch3.glsl:145-169`) runs ONCE per
+train step instead of twice.  A `custom_vjp` boundary cannot be split by
+partial evaluation, so the earlier custom_vjp formulation forced the remat
+replay to re-run the march just to rebuild its residuals.
 
 This is the "detached march / reparameterized hit point" adjoint called for
 by the north star (BASELINE.json) and SURVEY.md §7 hard-part (b).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 from raymarchrenderer_tpu.core.vecmath import Vec3
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def reparam_t(scene, cfg, params, o: Vec3, d: Vec3, t, valid):
+    """Attach implicit-function gradients to a detached hit distance.
+
+    `t` is treated as a constant (it is stop_gradient'ed internally); the
+    returned value equals `t` bitwise but carries
+
+        dt/dθ = -f_θ/(∇f·d),  dt/do = -∇f/(∇f·d),  dt/dd = -t·∇f/(∇f·d)
+
+    wherever `valid` and the denominator is well-conditioned, and exactly
+    zero gradient elsewhere.  Costs ~3 extra map evaluations per lane in
+    the forward graph (one primal + one VJP sweep for the detached ∇f)."""
+    t_sg = lax.stop_gradient(t)
+    o_sg = Vec3(*(lax.stop_gradient(c) for c in (o.x, o.y, o.z)))
+    d_sg = Vec3(*(lax.stop_gradient(c) for c in (d.x, d.y, d.z)))
+
+    # detached surface gradient ∇f at the hit point → the IFT denominator
+    def fp(px, py, pz):
+        return scene.map_dist(lax.stop_gradient(params), Vec3(px, py, pz),
+                              cfg.max_dist)
+
+    p_sg = o_sg + d_sg * t_sg
+    _, vjp_p = jax.vjp(fp, p_sg.x, p_sg.y, p_sg.z)
+    gx, gy, gz = vjp_p(jnp.ones_like(t_sg))
+    denom = gx * d_sg.x + gy * d_sg.y + gz * d_sg.z
+    safe = valid & (jnp.abs(denom) > 1e-6)
+    inv = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0), 0.0)
+    inv = lax.stop_gradient(inv)
+
+    # differentiable SDF residual at the detached hit point: value 0,
+    # derivatives (f_θ, ∇f, t·∇f) w.r.t. (params, o, d) via p = o + d·t_sg
+    g = scene.map_dist(params, o + d * t_sg, cfg.max_dist)
+    return t_sg - (g - lax.stop_gradient(g)) * inv
+
+
+def _name_march(t, mid, hitm):
+    """Tag the detached march outputs as remat-saveable residuals (see the
+    module docstring): `jax.checkpoint_policies.save_only_these_names(
+    "march_t", "march_mid", "march_hit")` keeps these three planes and the
+    backward replay never re-runs the march loop / Pallas kernel."""
+    return (checkpoint_name(t, "march_t"),
+            checkpoint_name(mid, "march_mid"),
+            checkpoint_name(hitm, "march_hit"))
+
+
+# The residual names saved by the march-skipping remat policy
+# (`parallel.sharding.train_step_sharded(remat=True)` uses this).
+MARCH_SAVE_NAMES = ("march_t", "march_mid", "march_hit", "shadow_t")
+
+
+def march_save_policy():
+    """Remat policy for differentiable renders: save the (t, mid, hit)
+    planes of every march (and NEE shadow visibility) so the backward
+    replay recomputes only the cheap shading chain, never the march."""
+    return jax.checkpoint_policies.save_only_these_names(*MARCH_SAVE_NAMES)
+
+
 def march_diff(scene, cfg, params, o: Vec3, d: Vec3, dist_mult, active):
     """Drop-in replacement for `render.integrator.march` with gradients.
 
     Returns (t, mat_index, hit_mask); t carries implicit-function gradients
     w.r.t. params / ray origin / ray direction."""
     from raymarchrenderer_tpu.render.integrator import march
-    return march(scene, lax.stop_gradient(params), cfg, o, d, dist_mult,
-                 active)
-
-
-def _march_fwd(scene, cfg, params, o, d, dist_mult, active):
-    from raymarchrenderer_tpu.render.integrator import march
     t, mid, hitm = march(scene, lax.stop_gradient(params), cfg,
-                         lax.stop_gradient(o), lax.stop_gradient(d),
-                         dist_mult, active)
-    return (t, mid, hitm), (params, o, d, t, hitm & active)
+                         Vec3(*(lax.stop_gradient(c)
+                                for c in (o.x, o.y, o.z))),
+                         Vec3(*(lax.stop_gradient(c)
+                                for c in (d.x, d.y, d.z))),
+                         lax.stop_gradient(dist_mult), active)
+    t, mid, hitm = _name_march(t, mid, hitm)
+    t = reparam_t(scene, cfg, params, o, d, t, hitm & active)
+    return t, mid, hitm
 
 
-def _implicit_bwd(scene, cfg, res, cots):
-    """Shared implicit-function backward: one SDF VJP at the detached hit
-    point.  Used by both the oracle (`march_diff`) and the Pallas
-    (`march_diff_fused`) forward passes — the adjoint only needs
-    (params, o, d, t, valid), not the march trajectory."""
-    params, o, d, t, valid = res
-    t_bar = cots[0]  # mid/hit cotangents are float0 (int/bool outputs)
-
-    def g(params, ox, oy, oz, dx, dy, dz):
-        p = Vec3(ox + dx * t, oy + dy * t, oz + dz * t)
-        return scene.map_dist(params, p, cfg.max_dist)
-
-    _, vjp = jax.vjp(g, params, o.x, o.y, o.z, d.x, d.y, d.z)
-
-    # denominator ∇f·d via one more VJP restricted to the position slots
-    def fp(px, py, pz):
-        return scene.map_dist(lax.stop_gradient(params), Vec3(px, py, pz),
-                              cfg.max_dist)
-
-    p = o + d * t
-    _, vjp_p = jax.vjp(fp, p.x, p.y, p.z)
-    ones = jnp.ones_like(t)
-    gx, gy, gz = vjp_p(ones)
-    denom = gx * d.x + gy * d.y + gz * d.z
-    safe = valid & (jnp.abs(denom) > 1e-6)
-    cot = jnp.where(safe, -t_bar / jnp.where(safe, denom, 1.0), 0.0)
-
-    p_bar, ox_b, oy_b, oz_b, dxg, dyg, dzg = vjp(cot)
-    # d̄ picks up the extra t-scaling: g_d = t ∇f, already includes t via the
-    # chain rule on p = o + d t (dx*t inside g) — vjp handles it.
-    o_bar = Vec3(ox_b, oy_b, oz_b)
-    d_bar = Vec3(dxg, dyg, dzg)
-    zero = jnp.zeros_like(t)
-    return p_bar, o_bar, d_bar, zero, None
-
-
-def _march_bwd(scene, cfg, res, cots):
-    return _implicit_bwd(scene, cfg, res, cots)
-
-
-march_diff.defvjp(_march_fwd, _march_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def march_diff_fused(scene, cfg, interpret, params, o: Vec3, d: Vec3,
                      dist_mult, active):
     """`march_diff` with the forward pass on the fused Pallas kernel
     (`kernels.march.march_fused`: one launch, per-tile early-out) and the
-    SAME implicit-function backward (one SDF VJP in plain XLA).
+    SAME reparameterized adjoint (one SDF VJP in plain XLA).
 
     This is the TPU-fast differentiable march: the forward march — the cost
     center of both passes (`RayMarch3.glsl:145-169`) — runs at megakernel
@@ -106,20 +129,13 @@ def march_diff_fused(scene, cfg, interpret, params, o: Vec3, d: Vec3,
     bitwise-identical t (its kernel body IS the oracle march) and the
     adjoint is shared.  `interpret=True` is the CPU test path."""
     from raymarchrenderer_tpu.kernels.march import march_fused
-    return march_fused(scene, lax.stop_gradient(params), cfg, o, d,
-                       dist_mult, active, interpret=interpret)
-
-
-def _march_fused_fwd(scene, cfg, interpret, params, o, d, dist_mult, active):
-    from raymarchrenderer_tpu.kernels.march import march_fused
     t, mid, hitm = march_fused(scene, lax.stop_gradient(params), cfg,
-                               lax.stop_gradient(o), lax.stop_gradient(d),
-                               dist_mult, active, interpret=interpret)
-    return (t, mid, hitm), (params, o, d, t, hitm & active)
-
-
-def _march_fused_bwd(scene, cfg, interpret, res, cots):
-    return _implicit_bwd(scene, cfg, res, cots)
-
-
-march_diff_fused.defvjp(_march_fused_fwd, _march_fused_bwd)
+                               Vec3(*(lax.stop_gradient(c)
+                                      for c in (o.x, o.y, o.z))),
+                               Vec3(*(lax.stop_gradient(c)
+                                      for c in (d.x, d.y, d.z))),
+                               lax.stop_gradient(dist_mult), active,
+                               interpret=interpret)
+    t, mid, hitm = _name_march(t, mid, hitm)
+    t = reparam_t(scene, cfg, params, o, d, t, hitm & active)
+    return t, mid, hitm

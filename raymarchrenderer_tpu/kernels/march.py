@@ -339,7 +339,7 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
     static_argnames=("scene", "cfg", "block", "interpret"))
 def march_fused(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
                 dist_mult, active, block=(DEFAULT_BH, DEFAULT_BW),
-                interpret: bool = False):
+                interpret: bool = False, t_max=None):
     """Pallas sphere trace over arbitrary (H, W) ray planes — the fused twin
     of `render.integrator.march` (`RayMarch.glsl:233-257` semantics), ONE
     launch for the whole plane, gridded over VPU tiles with per-tile
@@ -352,14 +352,22 @@ def march_fused(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
     traced over the tile).  Forward-only: this is the hot half of the
     differentiable render (`diff.march.march_diff_fused` pairs it with the
     implicit-function adjoint, whose backward is ONE extra SDF VJP in plain
-    XLA — the march loop itself never needs a transpose)."""
+    XLA — the march loop itself never needs a transpose).
+
+    `t_max` (optional per-lane f32 plane) caps the marched distance like
+    the oracle's `t_max` — the shadow-ray path (`_direct_light`) uses it
+    so visibility marches stop AT the light."""
     shape = jnp.shape(o.x)
     if len(shape) != 2:
         raise ValueError(f"march_fused wants (H, W) ray planes, got {shape}")
     h, w = shape
+    # largest block <= requested that tiles the plane exactly (batched-spp
+    # planes fold the sample axis into rows, so h need not be a power of 2)
     bh, bw = min(block[0], h), min(block[1], w)
-    if h % bh or w % bw:
-        raise ValueError(f"plane {w}x{h} must tile by block {bw}x{bh}")
+    while h % bh:
+        bh -= 1
+    while w % bw:
+        bw -= 1
 
     # the march only reads the object subtree — don't ship materials/env
     # (the env image especially would blow VMEM for nothing)
@@ -370,10 +378,15 @@ def march_fused(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
     leaves2d = [l.reshape(1, l.size) for l in leaves if l.size]
     n_shipped = len(leaves2d)
 
+    has_tmax = t_max is not None
+    n_planes = 9 if has_tmax else 8
+
     def kernel(*refs):
         param_refs = refs[:n_shipped]
-        (ox, oy, oz, dx, dy, dz, dm, act) = refs[n_shipped:n_shipped + 8]
-        t_out, mid_out, hit_out = refs[n_shipped + 8:]
+        ray_refs = refs[n_shipped:n_shipped + n_planes]
+        (ox, oy, oz, dx, dy, dz, dm, act) = ray_refs[:8]
+        tm = ray_refs[8][:] if has_tmax else None
+        t_out, mid_out, hit_out = refs[n_shipped + n_planes:]
         rebuilt = []
         ri = 0
         for shp, size in leaf_shapes:
@@ -387,7 +400,7 @@ def march_fused(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
         t, mid, hitb = march(scene, p, cfg,
                              Vec3(ox[:], oy[:], oz[:]),
                              Vec3(dx[:], dy[:], dz[:]),
-                             dm[:], act[:] > 0)
+                             dm[:], act[:] > 0, t_max=tm)
         t_out[:] = t
         mid_out[:] = mid
         hit_out[:] = hitb.astype(jnp.int32)
@@ -401,10 +414,12 @@ def march_fused(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
     planes.append(jnp.broadcast_to(jnp.asarray(dist_mult, f32), shape))
     planes.append(jnp.broadcast_to(
         jnp.asarray(active).astype(jnp.int32), shape))
+    if has_tmax:
+        planes.append(jnp.broadcast_to(jnp.asarray(t_max, f32), shape))
     t, mid, hit = pl.pallas_call(
         kernel,
         grid=(h // bh, w // bw),
-        in_specs=[small_vmem] * n_shipped + [tile] * 8,
+        in_specs=[small_vmem] * n_shipped + [tile] * n_planes,
         out_specs=(tile, tile, tile),
         out_shape=(jax.ShapeDtypeStruct(shape, f32),
                    jax.ShapeDtypeStruct(shape, jnp.int32),

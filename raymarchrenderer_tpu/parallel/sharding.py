@@ -29,7 +29,8 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from raymarchrenderer_tpu.render.config import RenderConfig
-from raymarchrenderer_tpu.render.integrator import render_patch
+from raymarchrenderer_tpu.render.integrator import (render_patch,
+                                                    render_patch_spp)
 from raymarchrenderer_tpu.scene.graph import Scene
 
 
@@ -158,11 +159,16 @@ def train_step_sharded(scene: Scene, params, cfg: RenderConfig, corners,
     `march_impl="fused"` runs every forward march on the Pallas kernel
     (`diff.march.march_diff_fused`) — the production differentiable path:
     the march (the cost center of both passes) runs at kernel rates and the
-    backward is the implicit adjoint in plain XLA.  `remat=True` (default)
-    checkpoints each sample's render so reverse-mode stores one bounce-loop
-    of residuals per sample *being recomputed*, not per sample rendered —
-    O(1) memory in spp, which is what lets a full-frame 1024²+ train step
-    fit HBM (BASELINE config 5)."""
+    backward is the implicit adjoint in plain XLA.  The chip's whole sample
+    slice renders as ONE batched trace (`render_patch_spp`: sample axis
+    folded into rows — one march launch per bounce, not per
+    (sample, bounce)).  `remat=True` (default) wraps the render in
+    `jax.checkpoint` with `diff.march.march_save_policy()`: only the
+    (t, mid, hit) march planes are stored, the backward replay recomputes
+    the cheap shading chain and DCEs the march entirely — the cost center
+    runs ONCE per step, and residual memory is 3 small planes per bounce
+    instead of the full shade chain, which is what lets a full-frame
+    1024²+ train step fit HBM (BASELINE config 5)."""
     fn = _train_step_fn(scene, cfg, mesh, spp, direct_light, march_impl,
                         interpret, remat)
     return fn(params, corners, target, jnp.float32(lr))
@@ -190,24 +196,22 @@ def _train_step_fn(scene: Scene, cfg: RenderConfig, mesh: Mesh, spp: int,
         si = lax.axis_index("spp")
         origin = jnp.stack([jnp.int32(0), (ti * rows_per).astype(jnp.int32)])
 
-        def one_sample(params, s):
-            color = render_patch(scene, params, cfg, corners, origin,
-                                 (rows_per, cfg.width), s, direct_light,
-                                 differentiable=True, march_impl=march_impl,
-                                 interpret=interpret)
+        def local_render(params, s0):
+            color = render_patch_spp(scene, params, cfg, corners, origin,
+                                     (rows_per, cfg.width), s0, spp_per,
+                                     direct_light, differentiable=True,
+                                     march_impl=march_impl,
+                                     interpret=interpret)
             return color.stack(-1)
 
         if remat:
-            one_sample = jax.checkpoint(one_sample)
+            from raymarchrenderer_tpu.diff.march import march_save_policy
+            local_render = jax.checkpoint(local_render,
+                                          policy=march_save_policy())
 
         def loss_fn(params):
-            def body(k, acc):
-                s = (si * spp_per + k).astype(jnp.uint32)
-                return acc + one_sample(params, s)
-
-            acc = lax.fori_loop(
-                0, spp_per, body,
-                jnp.zeros((rows_per, cfg.width, 3), jnp.float32))
+            s0 = (si * spp_per).astype(jnp.uint32)
+            acc = local_render(params, s0)
             img = lax.psum(acc, "spp") / jnp.float32(spp)
             local = jnp.sum((img - target) ** 2)
             # identical loss on every spp member; psum over tiles gives the
@@ -259,18 +263,12 @@ def _train_loss_fn(scene: Scene, cfg: RenderConfig, mesh: Mesh, spp: int,
         ti = lax.axis_index("tile")
         si = lax.axis_index("spp")
         origin = jnp.stack([jnp.int32(0), (ti * rows_per).astype(jnp.int32)])
-
-        def body(k, acc):
-            s = (si * spp_per + k).astype(jnp.uint32)
-            color = render_patch(scene, params, cfg, corners, origin,
-                                 (rows_per, cfg.width), s, direct_light,
-                                 differentiable=True, march_impl=march_impl,
-                                 interpret=interpret)
-            return acc + color.stack(-1)
-
-        acc = lax.fori_loop(
-            0, spp_per, body,
-            jnp.zeros((rows_per, cfg.width, 3), jnp.float32))
+        s0 = (si * spp_per).astype(jnp.uint32)
+        color = render_patch_spp(scene, params, cfg, corners, origin,
+                                 (rows_per, cfg.width), s0, spp_per,
+                                 direct_light, differentiable=True,
+                                 march_impl=march_impl, interpret=interpret)
+        acc = color.stack(-1)
         img = lax.psum(acc, "spp") / jnp.float32(spp)
         local = jnp.sum((img - target) ** 2)
         return lax.psum(local, "tile") / norm

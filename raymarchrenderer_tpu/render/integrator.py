@@ -222,7 +222,8 @@ class _TraceState(NamedTuple):
 
 def _direct_light(scene: Scene, params, cfg: RenderConfig, hitp: Vec3,
                   normal: Vec3, throughput: Vec3, albedo: Vec3,
-                  rng: RNGStream, mask):
+                  rng: RNGStream, mask, save_name: bool = False,
+                  shadow_march=None):
     """Next-event estimation against the scene's sphere lights with a shadow
     march — the gen-2 direct-light pattern (`RayMarch2.glsl:480-501`):
     contribution = T · (albedo/π) · cos⁺ · power/dist², gated by a march
@@ -243,9 +244,17 @@ def _direct_light(scene: Scene, params, cfg: RenderConfig, hitp: Vec3,
         # the cos/falloff/albedo terms).  t_max = the light distance: the
         # visibility march stops AT the light instead of burning the whole
         # max_steps budget (sd == dist_l on an unobstructed ray → lit).
-        sd, _, _ = march(scene, lax.stop_gradient(params), cfg,
-                         lax.stop_gradient(o_sh), lax.stop_gradient(ldir),
-                         ones, mask, t_max=lax.stop_gradient(dist_l))
+        shadow = shadow_march if shadow_march is not None else (
+            lambda o, d, m, a, tm: march(scene, lax.stop_gradient(params),
+                                         cfg, o, d, m, a, t_max=tm))
+        sd, _, _ = shadow(lax.stop_gradient(o_sh), lax.stop_gradient(ldir),
+                          ones, mask, lax.stop_gradient(dist_l))
+        if save_name:
+            # remat-saveable (diff mode only — the `name` primitive must not
+            # appear inside Pallas kernel traces): the shadow march replay
+            # is skipped by `diff.march.march_save_policy()`
+            from jax.ad_checkpoint import checkpoint_name
+            sd = checkpoint_name(sd, "shadow_t")
         lit = sd >= dist_l
         cos_t = jnp.maximum(ldir.dot(normal), 0.0)
         fall = lpower / jnp.maximum(dist_l * dist_l, 1e-8)
@@ -279,6 +288,17 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
     event and the gather happens in plain XLA outside (kernels/march.py)."""
     shape = jnp.shape(d0.x)
     ones = jnp.ones(shape, jnp.float32)
+    if march_impl == "fused":
+        # NEE shadow rays also march on the Pallas kernel (detached, capped
+        # at the light distance) — the XLA while_loop would sync the whole
+        # plane per step, the kernel early-outs per tile
+        from raymarchrenderer_tpu.kernels.march import march_fused
+
+        def shadow_march_fn(o, d, m, a, tm):
+            return march_fused(scene, lax.stop_gradient(params), cfg, o, d,
+                               m, a, interpret=interpret, t_max=tm)
+    else:
+        shadow_march_fn = None
     if differentiable and march_impl == "fused":
         # TPU-fast differentiable render: forward march on the fused Pallas
         # kernel (per-tile early-out), backward via the shared implicit
@@ -341,7 +361,8 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
         if direct_light and scene.n_lights:
             extra = extra + _direct_light(
                 scene, params, cfg, hitp, normal, st.color, s.color,
-                rng.fork(7), hit_active & ~term)
+                rng.fork(7), hit_active & ~term, save_name=differentiable,
+                shadow_march=shadow_march_fn)
 
         if cfg.rr_start_bounce >= 0:
             # Russian roulette (`RayMarch2.glsl:480-501` semantics): a
@@ -440,6 +461,66 @@ def render_patch(scene: Scene, params, cfg: RenderConfig, corners,
                                   differentiable,
                                   march_impl=march_impl, interpret=interpret)
     return total
+
+
+def render_patch_spp(scene: Scene, params, cfg: RenderConfig, corners,
+                     origin_xy, patch_shape, sample0, n_samples: int,
+                     direct_light: bool = False,
+                     differentiable: bool = False,
+                     march_impl: str = "oracle",
+                     interpret: bool = False) -> Vec3:
+    """All `n_samples` samples of a patch in ONE batched trace.
+
+    The sample axis is folded into the row axis — ray planes are
+    (n_samples·ph, pw) — so every march covers every sample at once: one
+    Pallas launch per bounce instead of one per (sample, bounce), fully
+    vectorized shading, and (in diff mode) one remat region for the whole
+    sample batch.  This replaces the reference's serial per-sample dispatch
+    loop (`Program.cpp:249-259`) for the training path the same way the
+    megakernel's in-loop regeneration replaces it for the forward path.
+
+    Because the RNG is keyed on absolute (pixel, sample) coordinates the
+    result is the same sample set as `n_samples` calls of `render_patch`
+    (identical per-sample radiance; the cross-sample reduction here is a
+    single axis-sum).  Returns the per-pixel SUM over samples — the caller
+    normalizes, mirroring `render_fused_patch(normalize=False)`."""
+    ph, pw = patch_shape
+    S = int(n_samples)
+    ox, oy = origin_xy[0], origin_xy[1]
+    row = jnp.arange(ph, dtype=jnp.int32)[None, :, None]
+    col = jnp.arange(pw, dtype=jnp.int32)[None, None, :]
+    sid = (jnp.asarray(sample0, jnp.uint32)
+           + jnp.arange(S, dtype=jnp.uint32)[:, None, None])
+    shape = (S * ph, pw)
+    py = jnp.broadcast_to(row + oy, (S, ph, pw)).reshape(shape)
+    px = jnp.broadcast_to(col + ox, (S, ph, pw)).reshape(shape)
+    sample = jnp.broadcast_to(sid, (S, ph, pw)).reshape(shape)
+    rng = RNGStream(cfg.seed, px, py, sample, jnp.uint32(1 << 20))
+    d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
+    e = eye_vec(corners)
+    eye = Vec3(jnp.broadcast_to(e.x, shape), jnp.broadcast_to(e.y, shape),
+               jnp.broadcast_to(e.z, shape))
+
+    def reduce(v: Vec3) -> Vec3:
+        return Vec3(v.x.reshape(S, ph, pw).sum(0),
+                    v.y.reshape(S, ph, pw).sum(0),
+                    v.z.reshape(S, ph, pw).sum(0))
+
+    if not cfg.separate_channels:
+        channels = Vec3.full(shape, 1.0, 1.0, 1.0)
+        return reduce(trace_rgb(scene, params, cfg, eye, d, px, py, sample,
+                                channels, direct_light, differentiable,
+                                march_impl=march_impl, interpret=interpret))
+    total = Vec3.zeros(shape)
+    for ci, mask in enumerate(((1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                               (0.0, 0.0, 1.0))):
+        channels = Vec3.full(shape, *mask)
+        s_id = sample * jnp.uint32(4) + jnp.uint32(ci + 1)
+        total = total + trace_rgb(scene, params, cfg, eye, d, px, py,
+                                  s_id, channels, direct_light,
+                                  differentiable,
+                                  march_impl=march_impl, interpret=interpret)
+    return reduce(total)
 
 
 def render_sample(scene: Scene, params, cfg: RenderConfig, corners,
