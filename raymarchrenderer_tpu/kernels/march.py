@@ -238,15 +238,16 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
             "NEE/direct-light uses the wavefront mode (shadow marches are "
             "bounce-synchronous)")
     bh, bw = block
-    # clamp the block to the patch so small frames/tests don't have to pick
-    ph_, pw_ = patch_shape
-    bh, bw = min(bh, ph_), min(bw, pw_)
-    block = (bh, bw)
+    # clamp the block to the patch, then take the largest size <= requested
+    # that tiles the patch exactly (block size is a pure scheduling knob —
+    # bitwise invariant — so odd frame sizes just get a smaller tile)
     ph, pw = patch_shape
-    if ph % bh or pw % bw:
-        raise ValueError(
-            f"patch {pw}x{ph} must tile by block {bw}x{bh}; pad the frame "
-            f"or pick block sizes that divide it")
+    bh, bw = min(bh, ph), min(bw, pw)
+    while ph % bh:
+        bh -= 1
+    while pw % bw:
+        bw -= 1
+    block = (bh, bw)
 
     if defer_sky:
         # the env image never enters the kernel (VPU-hostile gather, and it

@@ -266,3 +266,86 @@ class TestFusedDifferentiable:
         g1 = jax.grad(jax.checkpoint(one))(base)
         for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestBatchedSppAndRematPolicy:
+    """The train-path fast lane: batched-spp rendering + the march-saving
+    remat policy (`diff.march.march_save_policy`)."""
+
+    def test_render_patch_spp_matches_serial(self):
+        """Folding the sample axis into rows must reproduce the serial
+        per-sample sum bitwise (same RNG streams, one axis-sum)."""
+        from raymarchrenderer_tpu.render.integrator import (render_patch,
+                                                            render_patch_spp)
+        scene = sphere_on_floor()
+        cfg = RenderConfig(width=32, height=16, max_steps=48, max_bounces=2,
+                           max_dist=100.0)
+        corners = Camera(aspect=2.0).corner_rays_flat()
+        params = scene.init_params()
+        origin = (jnp.int32(0), jnp.int32(0))
+        acc = None
+        for s in range(3):
+            c = render_patch(scene, params, cfg, corners, origin, (16, 32),
+                             jnp.uint32(s)).stack(-1)
+            acc = c if acc is None else acc + c
+        batched = render_patch_spp(scene, params, cfg, corners, origin,
+                                   (16, 32), jnp.uint32(0), 3).stack(-1)
+        np.testing.assert_array_equal(np.asarray(acc), np.asarray(batched))
+
+    def test_march_save_policy_elides_march_recompute(self):
+        """With `march_save_policy`, the remat backward replay must NOT
+        re-run the march: the Pallas call count in the grad jaxpr equals
+        the no-remat count (the march planes are saved residuals), while
+        a plain save-nothing remat doubles it."""
+        from raymarchrenderer_tpu.diff.march import march_save_policy
+        from raymarchrenderer_tpu.render.integrator import render_patch_spp
+        scene = sphere_on_floor()
+        cfg = RenderConfig(width=128, height=8, max_steps=16, max_bounces=3,
+                           max_dist=100.0)
+        corners = Camera(aspect=16.0).corner_rays_flat()
+        params = scene.init_params()
+        origin = (jnp.int32(0), jnp.int32(0))
+
+        def make(policy):
+            def fwd(p):
+                c = render_patch_spp(scene, p, cfg, corners, origin,
+                                     (8, 128), jnp.uint32(0), 2,
+                                     differentiable=True,
+                                     march_impl="fused", interpret=True)
+                return jnp.sum(c.stack(-1) ** 2)
+            if policy is not None:
+                fwd = jax.checkpoint(fwd, policy=policy)
+            return jax.grad(fwd)
+
+        base = str(jax.make_jaxpr(make(None))(params)).count("pallas_call")
+        plain = str(jax.make_jaxpr(
+            make(jax.checkpoint_policies.nothing_saveable))(params)) \
+            .count("pallas_call")
+        saved = str(jax.make_jaxpr(make(march_save_policy()))(params)) \
+            .count("pallas_call")
+        assert base > 0
+        assert plain == 2 * base          # replay re-marches
+        assert saved == base              # replay DCEs the march
+
+    def test_policy_remat_grads_equal_no_remat(self):
+        """The march-saving policy is a pure memory/schedule change —
+        gradients are bitwise-identical to no remat at all."""
+        from raymarchrenderer_tpu.diff.march import march_save_policy
+        from raymarchrenderer_tpu.render.integrator import render_patch_spp
+        scene = sphere_on_floor()
+        cfg = RenderConfig(width=32, height=16, max_steps=48, max_bounces=2,
+                           max_dist=100.0)
+        corners = Camera(aspect=2.0).corner_rays_flat()
+        base = scene.init_params()
+        origin = (jnp.int32(0), jnp.int32(0))
+
+        def fwd(p):
+            c = render_patch_spp(scene, p, cfg, corners, origin, (16, 32),
+                                 jnp.uint32(0), 2, differentiable=True,
+                                 march_impl="fused", interpret=True)
+            return jnp.sum(c.stack(-1) ** 2)
+
+        g0 = jax.grad(fwd)(base)
+        g1 = jax.grad(jax.checkpoint(fwd, policy=march_save_policy()))(base)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
