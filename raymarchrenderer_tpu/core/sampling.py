@@ -83,8 +83,12 @@ def ggx_lobe(u1, u2, roughness) -> Vec3:
     o = u1 * 2.0 * _PI
     r = u2
     denom = (a * a - 1.0) * r + 1.0
-    cos_t = jnp.sqrt(jnp.clip((1.0 - r) / jnp.maximum(denom, 1e-12), 0.0, 1.0))
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    # sqrt floors at 1e-12 (not 0): sqrt' -> inf at 0 NaNs the roughness
+    # adjoint at the lobe pole (r == 0 draws); primal change <= 1e-6 on a
+    # measure-zero set (see vecmath.refract)
+    cos_t = jnp.sqrt(
+        jnp.clip((1.0 - r) / jnp.maximum(denom, 1e-12), 1e-12, 1.0))
+    sin_t = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_t * cos_t))
     return Vec3(sin_t * jnp.cos(o), cos_t, sin_t * jnp.sin(o)).normalized()
 
 

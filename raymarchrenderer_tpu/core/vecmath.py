@@ -147,11 +147,18 @@ def reflect(d: Vec3, n: Vec3) -> Vec3:
 
 
 def refract(d: Vec3, n: Vec3, eta) -> Vec3:
-    """GLSL refract(I, N, eta); returns 0-vector on total internal reflection."""
+    """GLSL refract(I, N, eta); returns 0-vector on total internal reflection.
+
+    The sqrt argument is floored at 1e-12 (not 0): sqrt' -> inf at 0, and
+    the TIR vselect's zero cotangent times that inf is NaN — which would
+    poison the gradient of EVERY parameter upstream of any near-TIR
+    refraction event (inverse rendering of IOR/roughness/geometry).  The
+    floor changes the primal by at most sqrt(1e-12) = 1e-6 on the
+    measure-zero k ∈ [0, 1e-12) sliver and keeps every adjoint finite."""
     cosi = -d.dot(n)
     k = 1.0 - eta * eta * (1.0 - cosi * cosi)
     tir = k < 0.0
-    k = jnp.maximum(k, 0.0)
+    k = jnp.maximum(k, 1e-12)
     out = d * eta + n * (eta * cosi - jnp.sqrt(k))
     return vselect(tir, Vec3.zeros(jnp.shape(tir)), out)
 

@@ -1,35 +1,39 @@
-"""Recover the 2015 scene constants by inverse-rendering the golden BMP.
+"""Recover the 2015 scene state by inverse-rendering the golden BMP.
 
-The reference's committed `default.scene` POSTDATES its 2015 golden renders
-(`output/2015-07-*.bmp`): rendered as-is, the emitter sits at (8, 8, -4)
-(`default.scene` objects[4]) yet every 2015 image is lit from the LEFT
-(floor brightest beside the glass panel, sphere shadows cast up-right, the
-panel's shadow falling toward the spheres).  No setting of the HEAD scene
-file reproduces the BMPs — the constants it had in July 2015 are lost.
+Two facts make plain "render HEAD's default.scene and diff" impossible
+(`tools/reference_parity.py` documents the geometry/camera agreement and
+the lighting disagreement):
 
-So we recover them with the framework itself (BASELINE config 4 applied to
-the reference's own history):
+  1. `Graphics::Init` ALWAYS loads an HDR environment texture
+     (`veranda_1k.hdr`, `Graphics.cpp:287`) and `skyColor` uses it
+     whenever present (`RayMarch.glsl:78-97`) — the 2015 goldens are lit
+     by an environment map whose asset is stripped from this mount
+     (`.MISSING_LARGE_BLOBS`).  The left-lit floor, the soft up-right
+     shadows and the dark ambience of every 2015 BMP are that envmap.
+  2. the committed `default.scene` constants postdate the BMPs (the
+     right-hand sphere renders blue in 2015 but its HEAD material is
+     gray 0.5, etc).
 
-  1. grid-search the emitter position (light transport is non-convex in
-     the light's position — gradient descent cannot teleport it across
-     the scene), scoring converged low-res renders by luma correlation;
-  2. gradient-refine every scene constant (albedos, emission power,
-     glass tint, volume color, sky level, object placement) with Adam on
-     a tone-mapped L2 against the BMP, marching on the fused Pallas
-     kernel with the reparameterized adjoint (`march_impl="fused"`) and a
-     fresh Monte-Carlo sample set each step (stochastic gradients);
-  3. re-render converged with the recovered constants and report the
-     same metrics `tools/reference_parity.py` reports.
+So we recover what was lost with the framework itself: fit a LEARNABLE
+low-resolution latlong environment map (the bilinear equirect lookup in
+`Scene.sky` is differentiable), together with the material constants and
+the emitter placement, by Adam on a tone-mapped L2 against the BMP —
+marching on the fused Pallas kernel with the reparameterized adjoint
+(`march_impl="fused"`), fresh Monte-Carlo samples each step.  Geometry
+(floor/spheres/panel) stays frozen at the scene-file values: the centroid
+checks in reference_parity.py show it already matches the BMP, and the
+point is to recover the *lighting*, not to deform the scene into a
+texture.  The env is parameterized in log space (positivity + relative
+learning rate across its dynamic range).
 
-Artifacts: output/reference_fit.npz (recovered params),
-output/reference_fit.json (metrics + recovered constants),
-output/reference_fit.png (target | HEAD constants | recovered, side by
-side).  Run `PARITY_PARAMS=output/reference_fit.npz
-tools/reference_parity.py` for the full-size comparison artifact.
+Artifacts: output/reference_fit.npz (recovered full param pytree +
+env-shape metadata), output/reference_fit.json (metrics + recovered
+constants), output/reference_fit.png (target | HEAD constants |
+recovered, side by side).
 
-Knobs: FIT_SCALE (default 5 — fit at 1280/f x 720/f; 5 gives 256x144,
-which tiles by (16, 128)), FIT_STEPS (default 400), FIT_SPP (default 8
-per step), FIT_REF (default 2015-07-12_23-07).
+Knobs: FIT_SCALE (default 5 — fit at 1280/f x 720/f), FIT_STEPS (default
+600), FIT_SPP (default 8 per step), FIT_REF (default 2015-07-12_23-07),
+FIT_ENV_H (default 32 — env map is (H, 2H)).
 """
 from __future__ import annotations
 
@@ -60,7 +64,6 @@ def main():
     from raymarchrenderer_tpu.io.image import (load_bmp, save_png,
                                                to_srgb_u8,
                                                _srgb_to_linear_np)
-    from raymarchrenderer_tpu.kernels.march import render_fused
     from raymarchrenderer_tpu.render.config import RenderConfig
     from raymarchrenderer_tpu.render.integrator import render_patch_spp
     from raymarchrenderer_tpu.scene.graph import load_scene
@@ -68,8 +71,9 @@ def main():
     platform = jax.devices()[0].platform
     interpret = platform != "tpu"
     f = int(os.environ.get("FIT_SCALE", "5"))
-    steps = int(os.environ.get("FIT_STEPS", "400"))
+    steps = int(os.environ.get("FIT_STEPS", "600"))
     spp = int(os.environ.get("FIT_SPP", "8"))
+    env_h = int(os.environ.get("FIT_ENV_H", "32"))
     ref_name = os.environ.get("FIT_REF", "2015-07-12_23-07")
 
     ref_u8 = load_bmp(os.path.join(REF_DIR, ref_name + ".bmp"))
@@ -79,87 +83,98 @@ def main():
     target_lin = _srgb_to_linear_np(ref_small.astype(np.float32) / 255.0)
     target = jnp.asarray(target_lin)
 
-    scene = load_scene(REF_SCENE)
-    params0 = scene.init_params()
+    # env-mapped scene: same node graphs, sky = learnable (env_h, 2*env_h)
+    # latlong texture, initialized to the constant the HEAD file implies
+    env0 = np.full((env_h, 2 * env_h, 3), 0.015, np.float32)
+    scene = load_scene(REF_SCENE, env_image=env0)
+    p0 = scene.init_params()
+    scene_plain = load_scene(REF_SCENE)
+    p_plain = scene_plain.init_params()
+
     cfg = RenderConfig(width=w, height=h, max_bounces=8, max_steps=256,
                        relax_omega=1.9, normal_taps=4)
     corners = Camera(eye=GOLDEN_EYE, direction=GOLDEN_DIR,
                      aspect=w / h).corner_rays_flat()
+    origin = (jnp.int32(0), jnp.int32(0))
 
-    fwd = jax.jit(lambda p, s0, n: render_fused(
-        scene, p, cfg, corners, s0, n_samples=n, interpret=interpret,
-        block=(16, 128)), static_argnums=(2,))
+    def render_n(sc, p, s0, n):
+        c = render_patch_spp(sc, p, cfg, corners, origin, (h, w),
+                             s0, n, march_impl="fused",
+                             interpret=interpret)
+        return c.stack(-1) / jnp.float32(n)
 
     def pearson(img):
         a = luma_np(to_srgb_u8(np.asarray(img)).astype(np.float32))
         b = luma_np(ref_small)
         return float(np.corrcoef(a.ravel(), b.ravel())[0, 1])
 
-    # ---- stage 1: emitter-position grid (non-convex — search, don't slide)
-    grid_spp = 32
-    best = (-2.0, None)
-    xs = ((-10.0, -8.0, -6.0, 8.0)
-          if os.environ.get("FIT_GRID", "1") == "1" else (8.0,))
-    zs = ((-6.0, -4.0, 0.0, 4.0)
-          if os.environ.get("FIT_GRID", "1") == "1" else (-4.0,))
-    for ex in xs:
-        for ez in zs:
-            p = jax.tree.map(lambda x: x, params0)
-            p["objects"][4][0] = jnp.asarray([ex, 8.0, ez], jnp.float32)
-            r = pearson(fwd(p, jnp.uint32(0), grid_spp))
-            print(f"grid emitter=({ex:+.0f},8,{ez:+.0f}) luma_r={r:+.4f}",
-                  flush=True)
-            if r > best[0]:
-                best = (r, (ex, 8.0, ez))
-    r0_grid, epos = best
-    print(f"grid best: emitter={epos} r={r0_grid:+.4f}", flush=True)
-    params = jax.tree.map(lambda x: x, params0)
-    params["objects"][4][0] = jnp.asarray(epos, jnp.float32)
+    # fit variables: materials + emitter position + log-env.  Geometry of
+    # floor/spheres/panel frozen (see module docstring).
+    fv0 = {
+        "mat": p0["materials"],
+        "epos": p0["objects"][4][0],
+        "log_env": jnp.log(jnp.asarray(env0)),
+    }
 
-    # ---- stage 2: Adam on every scene constant, tone-mapped L2
-    # (1/2.4-power ≈ the sRGB OETF both images are viewed through; fitting
-    # in display space keeps the dark floor from being out-shouted by the
-    # bright emitter pixels)
+    def assemble(fv):
+        # clamp materials to physical range INSIDE the graph (an Adam step
+        # can push a roughness/IOR negative, which NaNs the GGX sampling;
+        # clip passes gradients wherever the value is in range)
+        mats = jax.tree.map(lambda x: jnp.clip(x, 1e-4, None), fv["mat"])
+        p = {
+            "materials": mats,
+            "objects": [list(o) for o in p0["objects"]],
+            "lights": p0["lights"],
+            "env": {"power": p0["env"]["power"],
+                    "image": jnp.exp(fv["log_env"])},
+        }
+        p["objects"][4] = [fv["epos"], p0["objects"][4][1]]
+        return p
+
     def tonemap(x):
         return jnp.power(jnp.clip(x, 0.0, None) + 1e-4, 1.0 / 2.4)
 
     t_target = tonemap(target)
-    origin = (jnp.int32(0), jnp.int32(0))
 
-    def loss_fn(p, s0):
-        c = render_patch_spp(scene, p, cfg, corners, origin, (h, w), s0,
-                             spp, differentiable=True, march_impl="fused",
-                             interpret=interpret)
+    def loss_fn(fv, s0):
+        c = render_patch_spp(scene, assemble(fv), cfg, corners, origin,
+                             (h, w), s0, spp, differentiable=True,
+                             march_impl="fused", interpret=interpret)
         img = c.stack(-1) / jnp.float32(spp)
         return jnp.mean((tonemap(img) - t_target) ** 2)
 
-    opt = optax.adam(2e-2)
-    state = opt.init(params)
+    opt = optax.adam(3e-2)
+    state = opt.init(fv0)
 
     @jax.jit
-    def step(p, st, s0):
-        loss, g = jax.value_and_grad(loss_fn)(p, s0)
-        upd, st = opt.update(g, st, p)
-        return optax.apply_updates(p, upd), st, loss
+    def step(fv, st, s0):
+        loss, g = jax.value_and_grad(loss_fn)(fv, s0)
+        upd, st = opt.update(g, st, fv)
+        return optax.apply_updates(fv, upd), st, loss
 
+    fv = fv0
     for k in range(steps):
-        params, state, loss = step(params, state,
-                                   jnp.uint32(1000 + k * spp))
+        fv, state, loss = step(fv, state, jnp.uint32(1000 + k * spp))
         if k % 50 == 0 or k == steps - 1:
             print(f"step {k:4d} loss {float(loss):.6f}", flush=True)
 
-    # keep physicality: no negative albedos/sizes/powers
-    params = jax.tree.map(lambda x: jnp.maximum(x, 0.0), params)
-    params["env"]["power"] = jnp.clip(params["env"]["power"], 0.0, None)
+    fv = jax.tree.map(lambda x: x, fv)
+    fv["mat"] = jax.tree.map(lambda x: jnp.maximum(x, 0.0), fv["mat"])
+    params = assemble(fv)
 
     # ---- converged re-render + metrics
-    img_head = np.asarray(fwd(params0, jnp.uint32(7), 256))
-    img_fit = np.asarray(fwd(params, jnp.uint32(7), 256))
+    final_spp = 256
+    img_head = np.asarray(jax.jit(
+        lambda p: render_n(scene_plain, p, jnp.uint32(7), final_spp)
+    )(p_plain))
+    img_fit = np.asarray(jax.jit(
+        lambda p: render_n(scene, p, jnp.uint32(7), final_spp))(params))
     r_head, r_fit = pearson(img_head), pearson(img_fit)
 
     os.makedirs("output", exist_ok=True)
     leaves, _ = jax.tree.flatten(params)
     np.savez("output/reference_fit.npz",
+             env_h=np.int32(env_h),
              **{f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)})
     side = np.concatenate(
         [ref_small.astype(np.uint8), to_srgb_u8(img_head),
@@ -167,11 +182,12 @@ def main():
     save_png("output/reference_fit.png",
              _srgb_to_linear_np(side.astype(np.float32) / 255.0))
 
+    env_rec = np.asarray(params["env"]["image"])
     rec = {
         "ref": ref_name, "fit_size": [w, h], "steps": steps,
-        "spp_per_step": spp, "platform": platform,
+        "spp_per_step": spp, "env_shape": list(env_rec.shape),
+        "platform": platform,
         "luma_r_head_constants": round(r_head, 4),
-        "luma_r_grid_only": round(r0_grid, 4),
         "luma_r_recovered": round(r_fit, 4),
         "emitter_pos_head": [8.0, 8.0, -4.0],
         "emitter_pos_recovered":
@@ -179,7 +195,12 @@ def main():
         "emitter_power_recovered":
             [round(float(v), 3)
              for v in np.asarray(params["materials"][0][1])],
-        "sky_power_recovered": round(float(params["env"]["power"]), 5),
+        "env_mean_recovered": round(float(env_rec.mean()), 5),
+        "env_max_recovered": round(float(env_rec.max()), 4),
+        "env_argmax_dir_uv":
+            [round(float(x), 3) for x in
+             np.unravel_index(int(luma_np(env_rec).argmax()),
+                              env_rec.shape[:2])],
         "floor_albedo_recovered":
             [round(float(v), 3)
              for v in np.asarray(params["materials"][1][0])],
