@@ -241,6 +241,77 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Inverse rendering: fit the scene's differentiable parameters to a
+    target image (BASELINE config 4/5 as a product verb).
+
+    Runs `parallel.sharding.train_step_sharded` over the available device
+    mesh — fused Pallas forward march, reparameterized adjoint, psum grad
+    all-reduce, SGD — and writes the fitted parameter pytree (npz) plus a
+    render with the recovered parameters."""
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raymarchrenderer_tpu.io import save_image
+    from raymarchrenderer_tpu.io.image import (_srgb_to_linear_np, load_bmp,
+                                               load_exr, load_png)
+    from raymarchrenderer_tpu.parallel.sharding import (
+        auto_shard, make_mesh, render_replicated_params, render_sharded,
+        train_step_sharded)
+
+    scene = _build_scene(args)
+    params = scene.init_params()
+    cfg = _config(args)
+    corners = _camera(args).corner_rays_flat()
+
+    ext = os.path.splitext(args.target)[1].lower()
+    if ext == ".npy":
+        target = np.load(args.target).astype(np.float32)
+    elif ext == ".exr":
+        target = load_exr(args.target)
+    elif ext == ".png":
+        target = load_png(args.target)
+    elif ext == ".bmp":
+        target = _srgb_to_linear_np(
+            load_bmp(args.target).astype(np.float32) / 255.0)
+    else:
+        raise SystemExit(f"unsupported target format: {args.target!r}")
+    if target.shape != (cfg.height, cfg.width, 3):
+        raise SystemExit(
+            f"target is {target.shape}, render is "
+            f"({cfg.height}, {cfg.width}, 3) — pass matching -W/-H")
+    target = jnp.asarray(target)
+
+    interpret = jax.devices()[0].platform != "tpu"
+    mesh = make_mesh(auto_shard())
+    impl = "fused" if args.impl != "oracle" else "oracle"
+    with mesh:
+        params = render_replicated_params(scene, params, mesh)
+        for k in range(args.steps):
+            loss, params = train_step_sharded(
+                scene, params, cfg, corners, target, mesh, spp=args.spp,
+                lr=args.lr, march_impl=impl, interpret=interpret)
+            if k % max(1, args.steps // 10) == 0 or k == args.steps - 1:
+                print(f"step {k:4d} loss {float(loss):.6f}", flush=True)
+        img = render_sharded(scene, params, cfg, corners, mesh,
+                             spp=args.spp, impl=impl, interpret=interpret)
+    jax.block_until_ready(img)
+
+    out = args.out or "output/fitted_params.npz"
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    leaves, _ = jax.tree.flatten(jax.device_get(params))
+    np.savez(out, **{f"leaf{i}": np.asarray(l)
+                     for i, l in enumerate(leaves)})
+    png = os.path.splitext(out)[0] + ".png"
+    save_image(png, np.asarray(img))
+    print(f"saved {out} and {png} (final loss {float(loss):.6f})")
+    return 0
+
+
 def cmd_bench(args) -> int:
     os.environ.setdefault("BENCH_SIZE", str(args.size))
     os.environ.setdefault("BENCH_SPP", str(args.spp))
@@ -369,6 +440,17 @@ def main(argv=None) -> int:
     pb.add_argument("--impl", choices=("auto", "fused", "oracle"),
                     default="auto")
     pb.set_defaults(fn=cmd_bench)
+
+    pt = sub.add_parser(
+        "train", help="inverse-render: fit scene parameters to a target "
+                      "image over the device mesh")
+    _add_render_flags(pt)
+    pt.add_argument("--target", required=True,
+                    help="target image (.png/.bmp/.exr sRGB-or-linear, "
+                         ".npy linear float32), size must match -W/-H")
+    pt.add_argument("--steps", type=int, default=100)
+    pt.add_argument("--lr", type=float, default=1e-2)
+    pt.set_defaults(fn=cmd_train)
 
     pi = sub.add_parser("info", help="describe a scene")
     pi.add_argument("--scene", default="sphere_on_floor")
