@@ -163,6 +163,11 @@ class Scene:
     objects: Tuple[ObjectDef, ...]
     n_lights: int = 0
     has_env_map: bool = False
+    # SH environment sky (bands l<=3): params["env"]["sh"] is a (16, 3)
+    # coefficient array — the TPU-first env representation (pure FMAs, no
+    # gather; its adjoint is gather-free too, which is what makes sky
+    # RECOVERY by inverse rendering tractable — see core/sh.py)
+    has_sh_env: bool = False
     # gen-3 band-filter rows (min_wave, max_wave, power, kind) aligned with
     # `materials` — parsed from each material's optional `spectral` block
     # (`RayMarch3.glsl:251-345` semantics; kind 1 = emitter).  Empty = no
@@ -280,6 +285,9 @@ class Scene:
             texel = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
                      + (t01 * (1 - fx) + t11 * fx) * fy)
             return Vec3(texel[..., 0], texel[..., 1], texel[..., 2])
+        if self.has_sh_env:
+            from raymarchrenderer_tpu.core.sh import sh_eval
+            return sh_eval(params["env"]["sh"], direction)
         power = params["env"]["power"]
         shape = jnp.shape(direction.x)
         c = jnp.broadcast_to(power, shape)
@@ -377,8 +385,15 @@ def _eval_object(obj: ObjectDef, params: Sequence, p: Vec3):
 # loading
 # -----------------------------------------------------------------------------
 
-def loads_scene(text: str, env_image: Optional[np.ndarray] = None) -> Scene:
-    """Parse a `.scene` JSON string (either format generation)."""
+def loads_scene(text: str, env_image: Optional[np.ndarray] = None,
+                env_sh: Optional[np.ndarray] = None) -> Scene:
+    """Parse a `.scene` JSON string (either format generation).
+
+    `env_image`: (H, W, 3) equirect texture sky (`Graphics.cpp:287` slot).
+    `env_sh`: (16, 3) l<=3 spherical-harmonic sky coefficients (the
+    gather-free TPU representation, `core/sh.py`); an `environment.sh`
+    array in the scene JSON does the same declaratively.  The texture
+    takes precedence when both are given."""
     doc = json.loads(text)
     mats, mat_params = [], []
     for m in doc.get("materials", []):
@@ -403,6 +418,14 @@ def loads_scene(text: str, env_image: Optional[np.ndarray] = None) -> Scene:
     has_env = env_image is not None
     if has_env:
         env_params["image"] = np.asarray(env_image, np.float32)
+    if env_sh is None and "sh" in env:
+        env_sh = np.asarray(env["sh"], np.float32)
+    has_sh = env_sh is not None and not has_env
+    if has_sh:
+        sh = np.asarray(env_sh, np.float32)
+        if sh.shape != (16, 3):
+            raise ValueError(f"env_sh must be (16, 3), got {sh.shape}")
+        env_params["sh"] = sh
 
     # optional gen-3 spectral blocks: {"spectral": {"min_wave", "max_wave",
     # "power", "kind"}} per material (`RayMarch3.glsl:251-345` band filters;
@@ -420,9 +443,11 @@ def loads_scene(text: str, env_image: Optional[np.ndarray] = None) -> Scene:
     init = {"materials": mat_params, "objects": obj_params,
             "lights": light_params, "env": env_params}
     return Scene(tuple(mats), tuple(objs), n_lights=len(lights),
-                 has_env_map=has_env, spectral_rows=spec_rows, _init=init)
+                 has_env_map=has_env, has_sh_env=has_sh,
+                 spectral_rows=spec_rows, _init=init)
 
 
-def load_scene(path: str, env_image: Optional[np.ndarray] = None) -> Scene:
+def load_scene(path: str, env_image: Optional[np.ndarray] = None,
+               env_sh: Optional[np.ndarray] = None) -> Scene:
     with open(path) as f:
-        return loads_scene(f.read(), env_image)
+        return loads_scene(f.read(), env_image, env_sh=env_sh)

@@ -14,26 +14,26 @@ the lighting disagreement):
      right-hand sphere renders blue in 2015 but its HEAD material is
      gray 0.5, etc).
 
-So we recover what was lost with the framework itself: fit a LEARNABLE
-low-resolution latlong environment map (the bilinear equirect lookup in
-`Scene.sky` is differentiable), together with the material constants and
-the emitter placement, by Adam on a tone-mapped L2 against the BMP —
-marching on the fused Pallas kernel with the reparameterized adjoint
+So we recover what was lost with the framework itself: fit a spherical-
+harmonic sky (`core/sh.py` — the gather-free TPU env representation;
+a learnable texture's gather adjoint is a scatter-add that stalls XLA:TPU
+compilation), jointly with the material constants and the emitter
+placement, by Adam on a tone-mapped L2 against the BMP — marching on the
+fused Pallas kernel with the reparameterized adjoint
 (`march_impl="fused"`), fresh Monte-Carlo samples each step.  Geometry
 (floor/spheres/panel) stays frozen at the scene-file values: the centroid
 checks in reference_parity.py show it already matches the BMP, and the
 point is to recover the *lighting*, not to deform the scene into a
-texture.  The env is parameterized in log space (positivity + relative
-learning rate across its dynamic range).
+texture.  The recovered SH sky is baked to a latlong texture afterwards —
+the reconstructed stand-in for the lost `veranda_1k.hdr`.
 
-Artifacts: output/reference_fit.npz (recovered full param pytree +
-env-shape metadata), output/reference_fit.json (metrics + recovered
-constants), output/reference_fit.png (target | HEAD constants |
-recovered, side by side).
+Artifacts: output/reference_fit.npz (recovered param pytree + baked env),
+output/reference_fit.json (metrics + recovered constants),
+output/reference_fit.png (target | HEAD constants | recovered),
+output/reference_fit_env.png (the baked recovered environment).
 
 Knobs: FIT_SCALE (default 5 — fit at 1280/f x 720/f), FIT_STEPS (default
-600), FIT_SPP (default 8 per step), FIT_REF (default 2015-07-12_23-07),
-FIT_ENV_H (default 32 — env map is (H, 2H)).
+600), FIT_SPP (default 8 per step), FIT_REF (default 2015-07-12_23-07).
 """
 from __future__ import annotations
 
@@ -61,6 +61,7 @@ def main():
     import optax
 
     from raymarchrenderer_tpu.core.camera import Camera
+    from raymarchrenderer_tpu.core.sh import bake_latlong, constant_coeffs
     from raymarchrenderer_tpu.io.image import (load_bmp, save_png,
                                                to_srgb_u8,
                                                _srgb_to_linear_np)
@@ -73,7 +74,6 @@ def main():
     f = int(os.environ.get("FIT_SCALE", "5"))
     steps = int(os.environ.get("FIT_STEPS", "600"))
     spp = int(os.environ.get("FIT_SPP", "8"))
-    env_h = int(os.environ.get("FIT_ENV_H", "32"))
     ref_name = os.environ.get("FIT_REF", "2015-07-12_23-07")
 
     ref_u8 = load_bmp(os.path.join(REF_DIR, ref_name + ".bmp"))
@@ -83,10 +83,8 @@ def main():
     target_lin = _srgb_to_linear_np(ref_small.astype(np.float32) / 255.0)
     target = jnp.asarray(target_lin)
 
-    # env-mapped scene: same node graphs, sky = learnable (env_h, 2*env_h)
-    # latlong texture, initialized to the constant the HEAD file implies
-    env0 = np.full((env_h, 2 * env_h, 3), 0.015, np.float32)
-    scene = load_scene(REF_SCENE, env_image=env0)
+    # SH-sky scene, initialized to the constant the HEAD file implies
+    scene = load_scene(REF_SCENE, env_sh=constant_coeffs(0.015))
     p0 = scene.init_params()
     scene_plain = load_scene(REF_SCENE)
     p_plain = scene_plain.init_params()
@@ -108,12 +106,12 @@ def main():
         b = luma_np(ref_small)
         return float(np.corrcoef(a.ravel(), b.ravel())[0, 1])
 
-    # fit variables: materials + emitter position + log-env.  Geometry of
+    # fit variables: materials + emitter position + SH sky.  Geometry of
     # floor/spheres/panel frozen (see module docstring).
     fv0 = {
         "mat": p0["materials"],
         "epos": p0["objects"][4][0],
-        "log_env": jnp.log(jnp.asarray(env0)),
+        "sh": jnp.asarray(constant_coeffs(0.015)),
     }
 
     def assemble(fv):
@@ -125,8 +123,7 @@ def main():
             "materials": mats,
             "objects": [list(o) for o in p0["objects"]],
             "lights": p0["lights"],
-            "env": {"power": p0["env"]["power"],
-                    "image": jnp.exp(fv["log_env"])},
+            "env": {"power": p0["env"]["power"], "sh": fv["sh"]},
         }
         p["objects"][4] = [fv["epos"], p0["objects"][4][1]]
         return p
@@ -159,7 +156,7 @@ def main():
             print(f"step {k:4d} loss {float(loss):.6f}", flush=True)
 
     fv = jax.tree.map(lambda x: x, fv)
-    fv["mat"] = jax.tree.map(lambda x: jnp.maximum(x, 0.0), fv["mat"])
+    fv["mat"] = jax.tree.map(lambda x: jnp.maximum(x, 1e-4), fv["mat"])
     params = assemble(fv)
 
     # ---- converged re-render + metrics
@@ -172,21 +169,29 @@ def main():
     r_head, r_fit = pearson(img_head), pearson(img_fit)
 
     os.makedirs("output", exist_ok=True)
+    env_baked = bake_latlong(np.asarray(fv["sh"]), 64, 128)
     leaves, _ = jax.tree.flatten(params)
-    np.savez("output/reference_fit.npz",
-             env_h=np.int32(env_h),
+    np.savez("output/reference_fit.npz", env_baked=env_baked,
              **{f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)})
     side = np.concatenate(
         [ref_small.astype(np.uint8), to_srgb_u8(img_head),
          to_srgb_u8(img_fit)], axis=1)
     save_png("output/reference_fit.png",
              _srgb_to_linear_np(side.astype(np.float32) / 255.0))
+    # exposure-normalized view of the recovered environment
+    save_png("output/reference_fit_env.png",
+             env_baked / max(float(env_baked.max()), 1e-6))
 
-    env_rec = np.asarray(params["env"]["image"])
+    sh_rec = np.asarray(fv["sh"])
+    lum_dir = None
+    if np.abs(sh_rec[1:4]).max() > 0:
+        # band-1 coefficients point at the dominant light: the linear SH
+        # lobe peaks along (Y1-1, Y10, Y11) ~ (y, z, x)
+        v = np.array([sh_rec[3].mean(), sh_rec[1].mean(), sh_rec[2].mean()])
+        lum_dir = (v / (np.linalg.norm(v) + 1e-9)).round(3).tolist()
     rec = {
         "ref": ref_name, "fit_size": [w, h], "steps": steps,
-        "spp_per_step": spp, "env_shape": list(env_rec.shape),
-        "platform": platform,
+        "spp_per_step": spp, "platform": platform,
         "luma_r_head_constants": round(r_head, 4),
         "luma_r_recovered": round(r_fit, 4),
         "emitter_pos_head": [8.0, 8.0, -4.0],
@@ -195,12 +200,10 @@ def main():
         "emitter_power_recovered":
             [round(float(v), 3)
              for v in np.asarray(params["materials"][0][1])],
-        "env_mean_recovered": round(float(env_rec.mean()), 5),
-        "env_max_recovered": round(float(env_rec.max()), 4),
-        "env_argmax_dir_uv":
-            [round(float(x), 3) for x in
-             np.unravel_index(int(luma_np(env_rec).argmax()),
-                              env_rec.shape[:2])],
+        "sky_sh_dc_recovered":
+            [round(float(v) * 0.282095, 5) for v in sh_rec[0]],
+        "sky_dominant_dir_xyz": lum_dir,
+        "env_baked_max": round(float(env_baked.max()), 4),
         "floor_albedo_recovered":
             [round(float(v), 3)
              for v in np.asarray(params["materials"][1][0])],
