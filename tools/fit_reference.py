@@ -207,6 +207,12 @@ def main():
         "floor_albedo_recovered":
             [round(float(v), 3)
              for v in np.asarray(params["materials"][1][0])],
+        # the validation anecdote: every 2015 BMP shows the right-hand
+        # (volumeScatter) sphere BLUE although its HEAD constant is gray
+        # 0.5 — a correct fit must rediscover that from pixels alone
+        "volume_color_recovered":
+            [round(float(v), 3)
+             for v in np.asarray(params["materials"][3][0])],
         "mean_luma_ref": round(float(luma_np(ref_small).mean()) / 255.0, 4),
         "mean_luma_recovered": round(
             float(luma_np(to_srgb_u8(img_fit).astype(np.float32)).mean())
