@@ -286,6 +286,14 @@ def cmd_train(args) -> int:
             f"({cfg.height}, {cfg.width}, 3) — pass matching -W/-H")
     target = jnp.asarray(target)
 
+    if args.spectral:
+        raise SystemExit(
+            "train does not support --spectral: the gen-3 wavelength "
+            "transport has no differentiable path (band filters are "
+            "step functions of the drawn wavelength)")
+    if args.steps < 1:
+        raise SystemExit("--steps must be >= 1")
+
     interpret = jax.devices()[0].platform != "tpu"
     mesh = make_mesh(auto_shard())
     impl = "fused" if args.impl != "oracle" else "oracle"
@@ -294,14 +302,18 @@ def cmd_train(args) -> int:
         for k in range(args.steps):
             loss, params = train_step_sharded(
                 scene, params, cfg, corners, target, mesh, spp=args.spp,
-                lr=args.lr, march_impl=impl, interpret=interpret)
+                lr=args.lr, direct_light=args.direct_light,
+                march_impl=impl, interpret=interpret)
             if k % max(1, args.steps // 10) == 0 or k == args.steps - 1:
                 print(f"step {k:4d} loss {float(loss):.6f}", flush=True)
         img = render_sharded(scene, params, cfg, corners, mesh,
-                             spp=args.spp, impl=impl, interpret=interpret)
+                             spp=args.spp, direct_light=args.direct_light,
+                             impl=impl, interpret=interpret)
     jax.block_until_ready(img)
 
     out = args.out or "output/fitted_params.npz"
+    if not out.endswith(".npz"):
+        out += ".npz"  # np.savez appends it anyway; keep the report honest
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     leaves, _ = jax.tree.flatten(jax.device_get(params))
     np.savez(out, **{f"leaf{i}": np.asarray(l)

@@ -84,8 +84,11 @@ def ggx_lobe(u1, u2, roughness) -> Vec3:
     r = u2
     denom = (a * a - 1.0) * r + 1.0
     # sqrt floors at 1e-12 (not 0): sqrt' -> inf at 0 NaNs the roughness
-    # adjoint at the lobe pole (r == 0 draws); primal change <= 1e-6 on a
-    # measure-zero set (see vecmath.refract)
+    # adjoint at the lobe pole.  Primal cost: for roughness -> 0 the lobe
+    # degenerates (cos_t == 1 for EVERY r, not just r == 0), so the sin_t
+    # floor tilts every draw of a near-smooth lobe by ~1e-6 rad — low bits
+    # of near-mirror goldens can flip; exact mirrors (roughness == 0.0)
+    # bypass the lobe entirely via glossy_sample's special case
     cos_t = jnp.sqrt(
         jnp.clip((1.0 - r) / jnp.maximum(denom, 1e-12), 1e-12, 1.0))
     sin_t = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_t * cos_t))

@@ -137,11 +137,31 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
                 ku = jnp.asarray(k).astype(jnp.uint32)
                 s = s0 + ku
                 live = (ku < n_valid).astype(jnp.float32)
-                rng = RNGStream(cfg.seed, px, py, s, jnp.uint32(1 << 20))
+                if cfg.separate_channels:
+                    # dispersion × env-map: the bank slot counter runs over
+                    # (sample, channel) PATHS — 3 per sample, each with its
+                    # own miss event.  Channel ci of sample samp shares
+                    # samp's primary ray and draws shade stream
+                    # samp*4+ci+1, the oracle's exact keying
+                    # (`render.integrator.render_patch`,
+                    # RayMarch.glsl:580-598 + :78-113 together).
+                    samp = s // jnp.uint32(3)
+                    ci = s % jnp.uint32(3)
+                    s_id = samp * jnp.uint32(4) + ci + jnp.uint32(1)
+                    ch = Vec3(
+                        jnp.broadcast_to((ci == 0).astype(jnp.float32),
+                                         (bh, bw)),
+                        jnp.broadcast_to((ci == 1).astype(jnp.float32),
+                                         (bh, bw)),
+                        jnp.broadcast_to((ci == 2).astype(jnp.float32),
+                                         (bh, bw)))
+                else:
+                    samp, s_id, ch = s, s, channels
+                rng = RNGStream(cfg.seed, px, py, samp, jnp.uint32(1 << 20))
                 d = primary_rays(corners, px, py, cfg.width, cfg.height,
                                  rng)
                 c, mthr, mdir = trace_rgb(scene, params, cfg, eye, d, px,
-                                          py, s, channels, direct_light,
+                                          py, s_id, ch, direct_light,
                                           defer_sky=True)
                 mt_r[k] = mthr.x * live
                 mt_g[k] = mthr.y * live
@@ -214,11 +234,6 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
     `interpret=True` runs the Pallas interpreter (CPU test path — the
     "fake backend" of SURVEY.md §4 item 2)."""
     defer_sky = scene.has_env_map
-    if defer_sky and cfg.separate_channels:
-        raise NotImplementedError(
-            "env-map + dispersion in the fused kernel would need 3x miss-"
-            "event planes; render via the oracle (render.integrator) which "
-            "handles both")
     if mode == "auto":
         # megakernel is the fast path; NEE shadow marches are
         # bounce-synchronous and env-map miss events are per-sample, so
@@ -238,15 +253,17 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
             "NEE/direct-light uses the wavefront mode (shadow marches are "
             "bounce-synchronous)")
     bh, bw = block
-    # clamp the block to the patch, then take the largest size <= requested
-    # that tiles the patch exactly (block size is a pure scheduling knob —
-    # bitwise invariant — so odd frame sizes just get a smaller tile)
+    # clamp the block to the patch, then PAD the patch up to a block
+    # multiple (instead of shrinking the block to a divisor: the largest
+    # divisor of a prime-width frame is 1, a silent thousands-of-programs
+    # perf cliff).  Padded lanes render real rays at out-of-frame pixel
+    # coords and are cropped after the launch — each pixel is independent
+    # and the RNG is keyed on absolute coords, so kept pixels are bitwise
+    # invariant to the padding.  Waste is < one block row + column.
     ph, pw = patch_shape
     bh, bw = min(bh, ph), min(bw, pw)
-    while ph % bh:
-        bh -= 1
-    while pw % bw:
-        bw -= 1
+    php = -(-ph // bh) * bh
+    pwp = -(-pw // bw) * bw
     block = (bh, bw)
 
     if defer_sky:
@@ -267,20 +284,22 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
 
     # miss-event bank depth per launch: enough to amortize dispatch +
     # composite, small enough that the (K, ph, pw) x6 f32 banks stay cheap
-    # in HBM (K=8 at 1024x1024 = 192 MB transient)
-    K_BANK = min(8, n_samples) if defer_sky else n_samples
+    # in HBM (K=8 at 1024x1024 = 192 MB transient).  With dispersion each
+    # sample is 3 (sample, channel) paths, each with its own bank slot.
+    n_paths = n_samples * (3 if cfg.separate_channels else 1)
+    K_BANK = min(8, n_paths) if defer_sky else n_samples
 
     kernel = _tile_kernel(scene, cfg, treedef, leaf_shapes, K_BANK,
                           direct_light, bh, bw, mode, shade_gate,
                           march_unroll, defer_sky, normalize)
-    grid = (ph // bh, pw // bw)
+    grid = (php // bh, pwp // bw)
     small_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     bank_spec = pl.BlockSpec((K_BANK, bh, bw), lambda i, j: (0, i, j),
                              memory_space=pltpu.VMEM)
-    plane = jax.ShapeDtypeStruct((ph, pw), jnp.float32)
-    bank = jax.ShapeDtypeStruct((K_BANK, ph, pw), jnp.float32)
+    plane = jax.ShapeDtypeStruct((php, pwp), jnp.float32)
+    bank = jax.ShapeDtypeStruct((K_BANK, php, pwp), jnp.float32)
     if defer_sky:
         out_specs = (out_spec,) * 3 + (bank_spec,) * 6
         out_shapes = (plane,) * 3 + (bank,) * 6
@@ -307,28 +326,36 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
 
     if not defer_sky:
         r, g, b = launch(sample0, n_samples)
-        return jnp.stack([r, g, b], axis=-1)
+        return jnp.stack([r, g, b], axis=-1)[:ph, :pw]
 
     def one_chunk(sample, n_valid):
         """One K_BANK-deep launch + the XLA sky composite: the banked miss
         throughputs scatter the (bilinear, `Scene.sky`) equirect lookups
         back onto the hit accumulation.  Dead slots carry thr=0."""
         r, g, b, tr, tg, tb, dx, dy, dz = launch(sample, n_valid)
+        # crop padding BEFORE the gather — no sky lookups for dead lanes
+        r, g, b = r[:ph, :pw], g[:ph, :pw], b[:ph, :pw]
+        tr, tg, tb = tr[:, :ph, :pw], tg[:, :ph, :pw], tb[:, :ph, :pw]
+        dx, dy, dz = dx[:, :ph, :pw], dy[:, :ph, :pw], dz[:, :ph, :pw]
         sky = scene.sky(params, Vec3(dx, dy, dz))     # (K, ph, pw)
         return jnp.stack([r + (tr * sky.x).sum(0),
                           g + (tg * sky.y).sum(0),
                           b + (tb * sky.z).sum(0)], axis=-1)
 
+    # the chunk counter runs in PATH units (== samples, or 3x samples when
+    # dispersion enumerates (sample, channel) pairs — kernel divides back)
     s0 = jnp.asarray(sample0, jnp.uint32)
-    n_chunks = -(-n_samples // K_BANK)
+    if cfg.separate_channels:
+        s0 = s0 * jnp.uint32(3)
+    n_chunks = -(-n_paths // K_BANK)
     if n_chunks == 1:
-        total = one_chunk(s0, n_samples)
+        total = one_chunk(s0, n_paths)
     else:
         def chunk_body(c, acc):
             cu = jnp.uint32(c)
             n_valid = jnp.minimum(
                 jnp.int32(K_BANK),
-                jnp.int32(n_samples) - c * jnp.int32(K_BANK))
+                jnp.int32(n_paths) - c * jnp.int32(K_BANK))
             return acc + one_chunk(s0 + cu * jnp.uint32(K_BANK), n_valid)
         total = jax.lax.fori_loop(0, n_chunks, chunk_body,
                                   jnp.zeros((ph, pw, 3), jnp.float32))
@@ -362,13 +389,13 @@ def march_fused(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
     if len(shape) != 2:
         raise ValueError(f"march_fused wants (H, W) ray planes, got {shape}")
     h, w = shape
-    # largest block <= requested that tiles the plane exactly (batched-spp
-    # planes fold the sample axis into rows, so h need not be a power of 2)
+    # clamp the block to the plane, then pad the plane to a block multiple
+    # (batched-spp planes fold the sample axis into rows, so h need not be
+    # a power of 2; shrinking to a divisor would hit 1-wide tiles on prime
+    # dims).  Padded lanes enter with active=0, so the march skips them.
     bh, bw = min(block[0], h), min(block[1], w)
-    while h % bh:
-        bh -= 1
-    while w % bw:
-        bw -= 1
+    hp = -(-h // bh) * bh
+    wp = -(-w // bw) * bw
 
     # the march only reads the object subtree — don't ship materials/env
     # (the env image especially would blow VMEM for nothing)
@@ -417,17 +444,20 @@ def march_fused(scene: Scene, params, cfg: RenderConfig, o: Vec3, d: Vec3,
         jnp.asarray(active).astype(jnp.int32), shape))
     if has_tmax:
         planes.append(jnp.broadcast_to(jnp.asarray(t_max, f32), shape))
+    if (hp, wp) != (h, w):
+        # inactive padding: a zero `active` plane short-circuits the march
+        planes = [jnp.pad(a, ((0, hp - h), (0, wp - w))) for a in planes]
     t, mid, hit = pl.pallas_call(
         kernel,
-        grid=(h // bh, w // bw),
+        grid=(hp // bh, wp // bw),
         in_specs=[small_vmem] * n_shipped + [tile] * n_planes,
         out_specs=(tile, tile, tile),
-        out_shape=(jax.ShapeDtypeStruct(shape, f32),
-                   jax.ShapeDtypeStruct(shape, jnp.int32),
-                   jax.ShapeDtypeStruct(shape, jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((hp, wp), f32),
+                   jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+                   jax.ShapeDtypeStruct((hp, wp), jnp.int32)),
         interpret=interpret,
     )(*leaves2d, *planes)
-    return t, mid, hit > 0
+    return t[:h, :w], mid[:h, :w], hit[:h, :w] > 0
 
 
 def render_fused(scene: Scene, params, cfg: RenderConfig, corners,
@@ -531,8 +561,10 @@ def render_fused_spectral(scene: Scene, params, mats, cfg: RenderConfig,
     bh, bw = block
     ph, pw = cfg.height, cfg.width
     bh, bw = min(bh, ph), min(bw, pw)
-    if ph % bh or pw % bw:
-        raise ValueError(f"frame {pw}x{ph} must tile by block {bw}x{bh}")
+    # pad to a block multiple and crop after — same contract as
+    # render_fused_patch (kept pixels bitwise invariant to padding)
+    php = -(-ph // bh) * bh
+    pwp = -(-pw // bw) * bw
 
     combined = {"scene": params, "mats": mats}
     leaves, treedef = jax.tree.flatten(combined)
@@ -595,11 +627,11 @@ def render_fused_spectral(scene: Scene, params, mats, cfg: RenderConfig,
         out_g[:] = ag * inv
         out_b[:] = ab * inv
 
-    grid = (ph // bh, pw // bw)
+    grid = (php // bh, pwp // bw)
     small_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
-    plane = jax.ShapeDtypeStruct((ph, pw), jnp.float32)
+    plane = jax.ShapeDtypeStruct((php, pwp), jnp.float32)
     r, g, b = pl.pallas_call(
         kernel,
         grid=grid,
@@ -609,4 +641,4 @@ def render_fused_spectral(scene: Scene, params, mats, cfg: RenderConfig,
         out_shape=(plane, plane, plane),
         interpret=interpret,
     )(corners_arr, scalar_arr, *leaves2d)
-    return jnp.stack([r, g, b], axis=-1)
+    return jnp.stack([r, g, b], axis=-1)[:ph, :pw]

@@ -201,6 +201,25 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         term = (s.dir.x == 0.0) & (s.dir.y == 0.0) & (s.dir.z == 0.0)
         bounce = jnp.where(waiting, st.bounce + 1, st.bounce)
         done_now = term | (bounce >= cfg.max_bounces)
+        if cfg.rr_start_bounce >= 0:
+            # Russian roulette (`RayMarch2.glsl:480-501` semantics), keyed
+            # exactly like the oracle (trace_rgb: u = rng.fork(13).next()
+            # at bounce st.bounce): a continuing path survives with
+            # p = clip(max throughput, pmin, 1); survivors carry thr/p,
+            # casualties bank ZERO via the regen pass (their radiance
+            # would have come from a later emission event).
+            p = jnp.clip(jnp.maximum(thr.x, jnp.maximum(thr.y, thr.z)),
+                         cfg.rr_min_prob, 1.0)
+            u = rng.fork(13).next()
+            # the oracle roulettes every non-terminated hit — including
+            # paths at their final bounce (whose bare-albedo return is
+            # then 1/p-scaled), so gate on ~term, NOT on ~done_now
+            continuing = waiting & ~term
+            do_rr = continuing & (st.bounce >= cfg.rr_start_bounce)
+            kill = do_rr & (u >= p)
+            scale = jnp.where(do_rr & ~kill, 1.0 / p, 1.0)
+            thr = vselect(kill, Vec3.zeros(jnp.shape(st.t)), thr * scale)
+            done_now = done_now | kill
         state = jnp.where(waiting,
                           jnp.where(done_now, _REGEN, _MARCH), st.state)
         override = (s.hit.x != 0.0) | (s.hit.y != 0.0) | (s.hit.z != 0.0)

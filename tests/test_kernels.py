@@ -130,13 +130,38 @@ class TestFusedParity:
                            jnp.uint32(0), block=BLOCK, interpret=True)
         assert out.shape == (CFG.height, 100, 3)
 
-    def test_misaligned_frame_raises(self):
-        # larger-than-block frames must still tile evenly
+    def test_misaligned_frame_pads_and_crops(self):
+        # frames that don't tile by the block are padded to a block
+        # multiple inside the launch and cropped after; kept pixels are
+        # bitwise-equal to the oracle (RNG keyed on absolute coords, every
+        # pixel independent).  149 is prime — the old shrink-to-divisor
+        # fallback would have degraded to 1-wide tiles here.
         scene = builtin.sphere_on_floor()
         params = scene.init_params()
-        with pytest.raises(ValueError):
-            render_fused(scene, params, CFG.replace(width=192), _corners(),
-                         jnp.uint32(0), block=BLOCK, interpret=True)
+        cfg = CFG.replace(width=149, height=13)
+        oracle = render_sample(scene, params, cfg, _corners(),
+                               jnp.uint32(0)).stack(-1)
+        fused = render_fused(scene, params, cfg, _corners(), jnp.uint32(0),
+                             n_samples=1, block=BLOCK, interpret=True)
+        assert fused.shape == (13, 149, 3)
+        np.testing.assert_array_equal(np.asarray(oracle), np.asarray(fused))
+
+    def test_misaligned_frame_spectral_pads(self):
+        from raymarchrenderer_tpu.kernels.march import render_fused_spectral
+        from raymarchrenderer_tpu.render.spectral_integrator import (
+            render_sample_spectral, spectral_demo)
+        scene, params, mats = spectral_demo()
+        cfg = CFG.replace(width=149, height=13, max_bounces=3)
+        oracle = render_sample_spectral(scene, params, mats, cfg,
+                                        _corners(), jnp.uint32(1)).stack(-1)
+        fused = render_fused_spectral(scene, params, mats, cfg, _corners(),
+                                      jnp.uint32(1), n_samples=1,
+                                      block=BLOCK, interpret=True)
+        assert fused.shape == (13, 149, 3)
+        # same tolerance as test_fused_spectral_matches_oracle (the fused
+        # spectral trace differs from the oracle at FMA-contraction level)
+        d = np.abs(np.asarray(oracle) - np.asarray(fused))
+        assert float((d > 1e-5).mean()) < 1e-3
 
 
 class TestFusedDispersion:
@@ -182,17 +207,28 @@ class TestFusedDispersion:
                              mode="wavefront")
         np.testing.assert_array_equal(np.asarray(oracle), np.asarray(fused))
 
-    def test_env_map_dispersion_raises(self):
-        img = np.ones((4, 8, 3), np.float32)
+    def test_env_map_dispersion_matches_oracle(self):
+        """`separate_channels` composes with the deferred-sky env path:
+        the bank slots enumerate (sample, channel) paths — 3 per sample,
+        each with its own miss event (RayMarch.glsl:580-598 + :78-113
+        together).  Tolerance as in test_env_map_deferred_sky (bilinear
+        sky lookup inherits FMA-level direction wobble)."""
+        rng = np.random.RandomState(3)
+        img = rng.uniform(0.0, 2.0, (8, 16, 3)).astype(np.float32)
         b = builtin.SceneBuilder()
-        m = b.diffuse([0.5, 0.5, 0.5])
-        b.sphere(m, [0.0, 1.0, 0.0], 1.0)
+        g = b.glass([0.9, 0.95, 1.0], ior=1.45)
+        b.sphere(g, [0.0, 1.0, 0.0], 1.0)
+        d = b.diffuse([0.5, 0.5, 0.5])
+        b.box(d, [0.0, -0.05, 0.0], [8.0, 0.05, 8.0])
         scene = b.build(env_image=img)
         params = scene.init_params()
         cfg = CFG.replace(separate_channels=True)
-        with pytest.raises(NotImplementedError):
-            render_fused(scene, params, cfg, _corners(), jnp.uint32(0),
-                         n_samples=1, block=BLOCK, interpret=True)
+        o = [render_sample(scene, params, cfg, _corners(),
+                           jnp.uint32(s)).stack(-1) for s in (1, 2)]
+        mean = sum(np.asarray(x) for x in o) / 2.0
+        fused = render_fused(scene, params, cfg, _corners(), jnp.uint32(1),
+                             n_samples=2, block=BLOCK, interpret=True)
+        assert _frac_off(mean, fused, tol=5e-3) < 1e-3
 
 
 class TestFusedSpectral:

@@ -108,3 +108,33 @@ def test_mega_multisample_matches_sum_of_oracle():
             render_sample(scene, params, CFG, corners,
                           jnp.uint32(5 + k)).stack(-1))
     np.testing.assert_array_equal(multi, acc)
+
+
+@pytest.mark.parametrize("n_samples", [1, 2])
+def test_mega_rr_bitwise_matches_oracle(n_samples):
+    """Russian roulette in the megakernel (`RayMarch2.glsl:480-501`): the
+    kill/compensate draw is keyed exactly like the oracle's
+    (rng.fork(13) at the lane's bounce index), so the result is bitwise
+    the oracle's per-sample sum — no silent estimator drift when
+    mode="mega" routes an RR-enabled config to the fast path."""
+    scene = cornell()  # enclosed: paths stay alive deep enough for RR
+    params = scene.init_params()
+    corners = Camera(eye=(0, 2, 5.4), direction=(0, 0, -1),
+                     aspect=1.0).corner_rays_flat()
+    cfg = CFG.replace(rr_start_bounce=1, rr_min_prob=0.05)
+    acc = None
+    for k in range(n_samples):
+        o = np.asarray(render_sample(scene, params, cfg, corners,
+                                     jnp.uint32(2 + k)).stack(-1))
+        acc = o if acc is None else acc + o
+    m = np.asarray(jax.jit(
+        lambda p, s: _mega_sample(scene, p, cfg, corners, s,
+                                  n_samples=n_samples)
+    )(params, jnp.uint32(2)))
+    np.testing.assert_array_equal(acc, m)
+    # and the roulette actually fired: RR-off differs
+    off = np.asarray(jax.jit(
+        lambda p, s: _mega_sample(scene, p, cfg.replace(rr_start_bounce=-1),
+                                  corners, s, n_samples=n_samples)
+    )(params, jnp.uint32(2)))
+    assert not np.array_equal(m, off)
