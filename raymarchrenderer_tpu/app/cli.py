@@ -296,14 +296,19 @@ def cmd_train(args) -> int:
 
     interpret = jax.devices()[0].platform != "tpu"
     mesh = make_mesh(auto_shard())
-    impl = "fused" if args.impl != "oracle" else "oracle"
+    # march_impl drives the differentiable forward ("recorded" = one
+    # recording launch per chip, the round-3 production train path);
+    # the final render reuses the fused megakernel
+    march_impl = {"auto": "recorded", "fused": "fused",
+                  "oracle": "oracle"}[args.impl]
+    impl = "oracle" if args.impl == "oracle" else "fused"
     with mesh:
         params = render_replicated_params(scene, params, mesh)
         for k in range(args.steps):
             loss, params = train_step_sharded(
                 scene, params, cfg, corners, target, mesh, spp=args.spp,
                 lr=args.lr, direct_light=args.direct_light,
-                march_impl=impl, interpret=interpret)
+                march_impl=march_impl, interpret=interpret)
             if k % max(1, args.steps // 10) == 0 or k == args.steps - 1:
                 print(f"step {k:4d} loss {float(loss):.6f}", flush=True)
         img = render_sharded(scene, params, cfg, corners, mesh,

@@ -139,3 +139,16 @@ def march_diff_fused(scene, cfg, interpret, params, o: Vec3, d: Vec3,
     t, mid, hitm = _name_march(t, mid, hitm)
     t = reparam_t(scene, cfg, params, o, d, t, hitm & active)
     return t, mid, hitm
+
+
+def march_diff_recorded(scene, cfg, params, o: Vec3, d: Vec3, active,
+                        rec_t, rec_mid, rec_hit):
+    """The recorded-forward variant (`kernels.record.trace_record_fused`):
+    the march already ran inside the ONE-launch recording kernel; this just
+    tags its banked (t, mid, hit) planes as remat residuals and attaches
+    the shared implicit-function adjoint.  Zero marches in the XLA graph —
+    forward or backward."""
+    hitm = rec_hit > 0
+    t, mid, hitm = _name_march(rec_t, rec_mid, hitm)
+    t = reparam_t(scene, cfg, params, o, d, t, hitm & active)
+    return t, mid, hitm

@@ -116,7 +116,8 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
                                  channels, n_samples=n_samples,
                                  shade_gate=shade_gate,
                                  march_unroll=march_unroll,
-                                 dispersion=cfg.separate_channels)
+                                 dispersion=cfg.separate_channels,
+                                 direct_light=direct_light)
             out_r[:] = c.x * inv
             out_g[:] = c.y * inv
             out_b[:] = c.z * inv
@@ -235,10 +236,10 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
     "fake backend" of SURVEY.md §4 item 2)."""
     defer_sky = scene.has_env_map
     if mode == "auto":
-        # megakernel is the fast path; NEE shadow marches are
-        # bounce-synchronous and env-map miss events are per-sample, so
-        # both stay on the wavefront integrator
-        mode = "wavefront" if (direct_light or defer_sky) else "mega"
+        # megakernel is the fast path — including NEE (shadow marches run
+        # as extra segments of the same in-kernel loop); env-map miss
+        # events are per-sample banks, so those stay on the wavefront
+        mode = "wavefront" if defer_sky else "mega"
     if defer_sky and mode == "mega":
         raise NotImplementedError(
             "env-map scenes use the wavefront mode (the megakernel banks "
@@ -248,10 +249,6 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
         # unroll is a pure scheduling knob (bitwise invariant); the Pallas
         # interpreter just pays its trace blow-up, so keep tests fast
         march_unroll = 1
-    if mode == "mega" and direct_light:
-        raise NotImplementedError(
-            "NEE/direct-light uses the wavefront mode (shadow marches are "
-            "bounce-synchronous)")
     bh, bw = block
     # clamp the block to the patch, then PAD the patch up to a block
     # multiple (instead of shrinking the block to a divisor: the largest
@@ -542,15 +539,20 @@ def render_fused_spectral(scene: Scene, params, mats, cfg: RenderConfig,
                           block=(DEFAULT_BH, DEFAULT_BW),
                           interpret: bool = False, mode: str = "mega",
                           shade_gate: float = DEFAULT_SHADE_GATE,
-                          march_unroll: int = DEFAULT_MARCH_UNROLL):
+                          march_unroll: int = DEFAULT_MARCH_UNROLL,
+                          origin_xy=(0, 0), patch_shape=None,
+                          normalize: bool = True):
     """Fused gen-3 spectral render (`RayMarch3.glsl` wavelength transport)
     as ONE Pallas launch: the whole spectral integrator — band filters via
     a Mosaic-safe select chain, wavelength→RGB splat — runs per tile.
     `mode="mega"` (default) uses the spectral megakernel
     (`render.mega.trace_mega_spectral`: per-lane bounces + in-loop sample
     regeneration); `mode="wavefront"` loops `trace_spectral` over samples.
-    Returns the (H, W, 3) mean.  Parity vs `render_sample_spectral` tested
-    via `interpret=True`."""
+    Returns the (H, W, 3) mean (or the raw sum with `normalize=False` —
+    the exact-merge contract of `render_fused_patch`).  `origin_xy` +
+    `patch_shape` render a sub-rectangle at a dynamic origin (the tile-
+    sharding unit; RNG on absolute coords keeps any decomposition bitwise).
+    Parity vs `render_sample_spectral` tested via `interpret=True`."""
     from raymarchrenderer_tpu.core.spectral import wavelength_to_rgb
     from raymarchrenderer_tpu.render.mega import trace_mega_spectral
     from raymarchrenderer_tpu.render.spectral_integrator import trace_spectral
@@ -559,7 +561,8 @@ def render_fused_spectral(scene: Scene, params, mats, cfg: RenderConfig,
         march_unroll = 1  # pure scheduling knob; keep interpreter traces fast
 
     bh, bw = block
-    ph, pw = cfg.height, cfg.width
+    ph, pw = patch_shape if patch_shape is not None else (cfg.height,
+                                                          cfg.width)
     bh, bw = min(bh, ph), min(bw, pw)
     # pad to a block multiple and crop after — same contract as
     # render_fused_patch (kept pixels bitwise invariant to padding)
@@ -572,8 +575,10 @@ def render_fused_spectral(scene: Scene, params, mats, cfg: RenderConfig,
     leaf_meta = tuple((jnp.shape(l), int(l.size), l.dtype) for l in leaves)
     leaves2d = [l.reshape(1, l.size) for l in leaves if l.size]
     corners_arr = jnp.stack([jnp.asarray(c, jnp.float32) for c in corners])
-    scalar_arr = jnp.asarray(sample0, jnp.uint32).astype(
-        jnp.int32).reshape(1, 1)
+    scalar_arr = jnp.stack([
+        jnp.asarray(sample0, jnp.uint32).astype(jnp.int32),
+        jnp.asarray(origin_xy[1], jnp.int32),
+        jnp.asarray(origin_xy[0], jnp.int32)]).reshape(1, 3)
 
     def kernel(corners_ref, scalar_ref, *refs):
         n_shipped = sum(1 for _, size, _ in leaf_meta if size)
@@ -581,8 +586,12 @@ def render_fused_spectral(scene: Scene, params, mats, cfg: RenderConfig,
         out_r, out_g, out_b = refs[n_shipped:]
         i = pl.program_id(0)
         j = pl.program_id(1)
-        py = i * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
-        px = j * bw + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+        oy = scalar_ref[0, 1].astype(jnp.int32)
+        ox = scalar_ref[0, 2].astype(jnp.int32)
+        py = (oy + i * bh
+              + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0))
+        px = (ox + j * bw
+              + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1))
         rebuilt = []
         ri = 0
         for shp, size, dt in leaf_meta:
@@ -600,7 +609,7 @@ def render_fused_spectral(scene: Scene, params, mats, cfg: RenderConfig,
                    jnp.full((bh, bw), e[2], jnp.float32))
         s0 = scalar_ref[0, 0].astype(jnp.uint32)
 
-        inv = 1.0 / float(n_samples)
+        inv = 1.0 / float(n_samples) if normalize else 1.0
         if mode == "mega":
             c = trace_mega_spectral(scene, p, m, cfg, corners_t, px, py,
                                     s0, n_samples=n_samples,

@@ -1,0 +1,234 @@
+"""Recording trace kernel: the megakernel-rate differentiable forward.
+
+The round-2 train step ran the differentiable forward as a
+bounce-synchronous wavefront: one Pallas march launch per bounce with the
+full-plane XLA shading chain (normals, material graphs, NEE) between
+launches.  `tools/diff_profile.py` measured that chain — not the march —
+as the residual cost: every bounce pays a full HBM round-trip of the whole
+sample-folded plane through a dozen elementwise XLA kernels.
+
+This module moves the ENTIRE forward trace into ONE Pallas launch — the
+same in-kernel bounce loop as the production render kernel
+(`RayMarch3.glsl:356` semantics, per-tile early-out marches) — and has it
+export exactly the planes the differentiable replay needs, which are
+exactly the residuals `diff.march.march_save_policy()` already saves:
+
+    t[b], mat_id[b], hit[b]          per bounce        ("march_t" ...)
+    shadow_t[b, li]                  per bounce, light ("shadow_t")
+
+The XLA side (`render.integrator.trace_rgb(march_impl="recorded")`) then
+replays the cheap shade chain over the recorded geometry, attaching
+gradients with the SAME reparameterized / implicit-function adjoint as the
+per-bounce path (`diff.march.reparam_t`) — so the march (the cost center
+of both passes, `RayMarch3.glsl:145-169`) runs once, in the kernel, at
+kernel rates, and reverse-mode never sees a while_loop.
+
+Parity note: the in-kernel shade chain is the same traced code as the XLA
+replay, but Mosaic and XLA may contract FMAs differently, so recorded
+bounce-(b>0) geometry can differ from the per-bounce-launch path at ulp
+level on lanes whose shade math contracts; gradients agree to float32
+tolerance (tested), bitwise on scenes where no contraction divergence
+occurs.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raymarchrenderer_tpu.core.rng import RNGStream
+from raymarchrenderer_tpu.core.sampling import uniform_sphere
+from raymarchrenderer_tpu.core.vecmath import Vec3, vselect
+from raymarchrenderer_tpu.kernels.march import DEFAULT_BH, DEFAULT_BW
+from raymarchrenderer_tpu.render.config import RenderConfig
+from raymarchrenderer_tpu.scene.graph import Scene
+from raymarchrenderer_tpu.scene.nodes import ShadeCtx
+
+_PI = 3.14159265358979323846
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scene", "cfg", "direct_light", "block", "interpret"))
+def trace_record_fused(scene: Scene, params, cfg: RenderConfig, eye: Vec3,
+                       d0: Vec3, px, py, sample,
+                       direct_light: bool = False,
+                       block=(DEFAULT_BH, DEFAULT_BW),
+                       interpret: bool = False):
+    """Run the full `trace_rgb` forward over arbitrary (H, W) ray planes in
+    ONE Pallas launch and return the recorded march planes:
+
+        {"t": (B, H, W) f32, "mid": (B, H, W) i32, "hit": (B, H, W) i32,
+         "sd": (B * n_lights, H, W) f32}   # only when NEE
+
+    B = cfg.max_bounces.  Inputs are planes (the sample-folded layout of
+    `render_patch_spp` works directly: `sample` is a per-lane plane).
+    Everything is detached — gradients come from the replay
+    (`trace_rgb(march_impl="recorded", recorded=...)`)."""
+    if cfg.separate_channels:
+        raise NotImplementedError(
+            "recorded differentiable forward assumes RGB transport "
+            "(channels == 1); dispersion trains on the per-bounce path")
+    params = lax.stop_gradient(params)
+    shape = jnp.shape(d0.x)
+    h, w = shape
+    B = cfg.max_bounces
+    nee = direct_light and scene.n_lights > 0
+    L = scene.n_lights if nee else 0
+
+    bh, bw = min(block[0], h), min(block[1], w)
+    hp = -(-h // bh) * bh
+    wp = -(-w // bw) * bw
+
+    leaves, treedef = jax.tree.flatten(params)
+    leaves = [jnp.asarray(l, jnp.float32) for l in leaves]
+    leaf_shapes = tuple((jnp.shape(l), int(l.size)) for l in leaves)
+    leaves2d = [l.reshape(1, l.size) for l in leaves if l.size]
+    n_shipped = len(leaves2d)
+
+    f32, i32 = jnp.float32, jnp.int32
+    planes = [jnp.asarray(a, f32) for a in
+              (eye.x, eye.y, eye.z, d0.x, d0.y, d0.z)]
+    planes.append(jnp.asarray(px).astype(i32))
+    planes.append(jnp.asarray(py).astype(i32))
+    # uint32 sample ids ship as bit-identical int32 (Mosaic-friendly)
+    planes.append(lax.bitcast_convert_type(
+        jnp.broadcast_to(jnp.asarray(sample).astype(jnp.uint32), shape),
+        i32))
+    if (hp, wp) != (h, w):
+        planes = [jnp.pad(a, ((0, hp - h), (0, wp - w))) for a in planes]
+    n_planes = len(planes)
+
+    def kernel(*refs):
+        from raymarchrenderer_tpu.render.integrator import get_normal, march
+        param_refs = refs[:n_shipped]
+        (ex, ey, ez, dx, dy, dz, pxr, pyr, sr) = refs[
+            n_shipped:n_shipped + n_planes]
+        outs = refs[n_shipped + n_planes:]
+        if nee:
+            t_ref, mid_ref, hit_ref, sd_ref = outs
+        else:
+            t_ref, mid_ref, hit_ref = outs
+        rebuilt = []
+        ri = 0
+        for shp, size in leaf_shapes:
+            if size == 0:
+                rebuilt.append(jnp.zeros(shp, jnp.float32))
+            else:
+                rebuilt.append(param_refs[ri][:].reshape(shp))
+                ri += 1
+        p = jax.tree.unflatten(treedef, rebuilt)
+        kpx = pxr[:]
+        kpy = pyr[:]
+        ksample = lax.bitcast_convert_type(sr[:], jnp.uint32)
+        ones = jnp.ones((bh, bw), jnp.float32)
+        ones3 = Vec3(ones, ones, ones)
+        # padded lanes march as real rays (d may be zero — the map clamps
+        # at max_dist so they miss immediately); their records are cropped
+
+        def bounce_body(b, carry):
+            o, d, color, inside, active = carry
+            dist_mult = 1.0 - 2.0 * inside
+            active_b = active > 0
+            t, mid, hitm = march(scene, p, cfg, o, d, dist_mult, active_b)
+            bu = jnp.asarray(b, i32)
+            t_ref[bu] = t
+            mid_ref[bu] = mid
+            hit_ref[bu] = hitm.astype(i32)
+            hitp = o + d * t
+            normal = get_normal(scene, p, cfg, hitp)
+            rng = RNGStream(cfg.seed, kpx, kpy, ksample, b)
+            ctx = ShadeCtx(o, d, t, hitp, inside, normal, ones3, rng)
+            s = scene.shade(p, ctx, mid)
+            hit_active = active_b & hitm
+            miss_active = active_b & ~hitm
+            sky = scene.sky(p, d)
+            mult = vselect(hit_active, s.color,
+                           vselect(miss_active, sky, ones3))
+            color = color * mult
+            new_inside_b = s.inside.x > 0.5
+            inside = jnp.where(hit_active, new_inside_b.astype(f32), inside)
+            term = (s.dir.x == 0.0) & (s.dir.y == 0.0) & (s.dir.z == 0.0)
+            active_n = hit_active & ~term
+            if nee:
+                # shadow marches with the oracle's exact keying
+                # (`integrator._direct_light`); only the visibility t is
+                # recorded — the replay recomputes the contribution math
+                # differentiably
+                nrng = rng.fork(7)
+                o_sh = hitp + normal * cfg.surface_offset
+                for li in range(L):
+                    lrng = nrng.fork(101 + li)
+                    lpos, lpower, lradius = scene.light(p, li)
+                    jit = uniform_sphere(lrng.next(), lrng.next()) * lradius
+                    target = lpos + jit
+                    delta = target - hitp
+                    dist_l = delta.length()
+                    ldir = delta / jnp.maximum(dist_l, 1e-8)
+                    sd, _, _ = march(scene, p, cfg, o_sh, ldir, ones,
+                                     active_n, t_max=dist_l)
+                    # resolve visibility HERE: unoccluded rays end at
+                    # sd == dist_l exactly, so the replay re-deriving
+                    # dist_l (one ulp off under a different compilation)
+                    # would flip `sd >= dist_l` on every lit lane.  Bank
+                    # a saturated sd whose comparison is ulp-proof.
+                    sd_ref[bu * L + li] = jnp.where(
+                        sd >= dist_l, jnp.float32(3.4e38), 0.0)
+            if cfg.rr_start_bounce >= 0:
+                pr = jnp.clip(
+                    jnp.maximum(color.x, jnp.maximum(color.y, color.z)),
+                    cfg.rr_min_prob, 1.0)
+                u = rng.fork(13).next()
+                do_rr = active_n & (b >= cfg.rr_start_bounce)
+                kill = do_rr & (u >= pr)
+                scale = jnp.where(do_rr & ~kill, 1.0 / pr, 1.0)
+                color = vselect(kill, Vec3.zeros((bh, bw)), color * scale)
+                active_n = active_n & ~kill
+            override = ((s.hit.x != 0.0) | (s.hit.y != 0.0)
+                        | (s.hit.z != 0.0))
+            off = jnp.where(new_inside_b, -cfg.inside_offset,
+                            cfg.exit_offset)
+            o_next = vselect(override, s.hit, hitp + normal * off)
+            o = vselect(active_n, o_next, o)
+            d = vselect(active_n, s.dir, d)
+            return (o, d, color, inside, active_n.astype(i32))
+
+        o0 = Vec3(ex[:], ey[:], ez[:])
+        dd0 = Vec3(dx[:], dy[:], dz[:])
+        init = (o0, dd0, ones3,
+                jnp.zeros((bh, bw), f32), jnp.ones((bh, bw), i32))
+        # peel bounce 0 (concrete Mosaic layouts), then fori the rest —
+        # each bounce's march early-outs per tile, so post-termination
+        # bounces cost one loop-condition check
+        carry = bounce_body(0, init)
+        lax.fori_loop(1, B, bounce_body, carry)
+
+    tile = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    bank = lambda n: pl.BlockSpec((n, bh, bw), lambda i, j: (0, i, j),
+                                  memory_space=pltpu.VMEM)
+    small_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_specs = [bank(B)] * 3
+    out_shapes = [jax.ShapeDtypeStruct((B, hp, wp), f32),
+                  jax.ShapeDtypeStruct((B, hp, wp), i32),
+                  jax.ShapeDtypeStruct((B, hp, wp), i32)]
+    if nee:
+        out_specs.append(bank(B * L))
+        out_shapes.append(jax.ShapeDtypeStruct((B * L, hp, wp), f32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(hp // bh, wp // bw),
+        in_specs=[small_vmem] * n_shipped + [tile] * n_planes,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(*leaves2d, *planes)
+    crop = lambda a: a[:, :h, :w]
+    rec = {"t": crop(outs[0]), "mid": crop(outs[1]), "hit": crop(outs[2])}
+    if nee:
+        rec["sd"] = crop(outs[3])
+    return rec

@@ -65,7 +65,7 @@ def auto_shard(n_devices: Optional[int] = None) -> ShardConfig:
 
 def render_sharded(scene: Scene, params, cfg: RenderConfig, corners,
                    mesh: Mesh, spp: int, direct_light: bool = False,
-                   spectral=None, impl: str = "oracle",
+                   impl: str = "oracle",
                    interpret: bool = False):
     """Full sharded render: returns the (H, W, 3) mean image, row-sharded
     over the 'tile' axis (use `gather_image` to materialize on host 0).
@@ -138,6 +138,51 @@ def _render_sharded_fn(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     return jax.jit(
         jax.shard_map(shard_fn, mesh=mesh,
                       in_specs=(P(), P()),
+                      out_specs=P("tile", None, None),
+                      check_vma=False))
+
+
+def render_sharded_spectral(scene: Scene, params, mats, cfg: RenderConfig,
+                            corners, mesh: Mesh, spp: int,
+                            interpret: bool = False):
+    """Sharded gen-3 spectral render (the headline-bench transport,
+    `RayMarch3.glsl`) over the ('tile', 'spp') mesh: each chip runs the
+    spectral megakernel on its pixel-row block × sample slice
+    (`render_fused_spectral(origin_xy=..., normalize=False)`), then one
+    psum over 'spp' and one division merge exactly like `render_sharded`
+    — bitwise-equal to the unsharded kernel for any mesh shape (RNG on
+    absolute (pixel, sample) coords)."""
+    fn = _render_sharded_spectral_fn(scene, cfg, mesh, spp, interpret)
+    return fn(params, mats, corners)
+
+
+@functools.lru_cache(maxsize=64)
+def _render_sharded_spectral_fn(scene: Scene, cfg: RenderConfig, mesh: Mesh,
+                                spp: int, interpret: bool):
+    n_tile = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+    if cfg.height % n_tile:
+        raise ValueError("height must divide the tile axis")
+    if spp % n_spp:
+        raise ValueError("spp must divide the spp axis")
+    rows_per = cfg.height // n_tile
+    spp_per = spp // n_spp
+
+    def shard_fn(params, mats, corners):
+        from raymarchrenderer_tpu.kernels.march import render_fused_spectral
+        ti = lax.axis_index("tile")
+        si = lax.axis_index("spp")
+        origin = jnp.stack([jnp.int32(0), (ti * rows_per).astype(jnp.int32)])
+        s0 = (si * spp_per).astype(jnp.uint32)
+        acc = render_fused_spectral(
+            scene, params, mats, cfg, corners, s0, n_samples=spp_per,
+            interpret=interpret, origin_xy=origin,
+            patch_shape=(rows_per, cfg.width), normalize=False)
+        return lax.psum(acc, "spp") / jnp.float32(spp)
+
+    return jax.jit(
+        jax.shard_map(shard_fn, mesh=mesh,
+                      in_specs=(P(), P(), P()),
                       out_specs=P("tile", None, None),
                       check_vma=False))
 

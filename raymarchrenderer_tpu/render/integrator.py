@@ -244,11 +244,14 @@ def _direct_light(scene: Scene, params, cfg: RenderConfig, hitp: Vec3,
         # the cos/falloff/albedo terms).  t_max = the light distance: the
         # visibility march stops AT the light instead of burning the whole
         # max_steps budget (sd == dist_l on an unobstructed ray → lit).
+        # The light index is forwarded so recorded-mode shadow lookups can
+        # index their per-(bounce, light) plane.
         shadow = shadow_march if shadow_march is not None else (
-            lambda o, d, m, a, tm: march(scene, lax.stop_gradient(params),
-                                         cfg, o, d, m, a, t_max=tm))
+            lambda o, d, m, a, tm, _li: march(
+                scene, lax.stop_gradient(params), cfg, o, d, m, a,
+                t_max=tm))
         sd, _, _ = shadow(lax.stop_gradient(o_sh), lax.stop_gradient(ldir),
-                          ones, mask, lax.stop_gradient(dist_l))
+                          ones, mask, lax.stop_gradient(dist_l), li)
         if save_name:
             # remat-saveable (diff mode only — the `name` primitive must not
             # appear inside Pallas kernel traces): the shadow march replay
@@ -269,7 +272,8 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
               differentiable: bool = False,
               defer_sky: bool = False,
               march_impl: str = "oracle",
-              interpret: bool = False):
+              interpret: bool = False,
+              recorded=None):
     """Gen-1 `trace` (`RayMarch.glsl:483-565`), fully masked.
 
     Paths terminate on emission (dir == 0), on sky miss, or after
@@ -294,12 +298,42 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
         # plane per step, the kernel early-outs per tile
         from raymarchrenderer_tpu.kernels.march import march_fused
 
-        def shadow_march_fn(o, d, m, a, tm):
+        def shadow_march_fn(o, d, m, a, tm, _li):
             return march_fused(scene, lax.stop_gradient(params), cfg, o, d,
                                m, a, interpret=interpret, t_max=tm)
     else:
         shadow_march_fn = None
-    if differentiable and march_impl == "fused":
+    if march_impl == "recorded":
+        # recorded mode (`kernels.record.trace_record_fused`): the whole
+        # forward trace already ran as ONE Pallas launch; every march and
+        # shadow march is a bank lookup here, gradients attach via the
+        # shared implicit adjoint.  Requires `differentiable=True` and a
+        # statically-unrolled bounce loop (the bank index is trace-time).
+        if recorded is None:
+            raise ValueError("march_impl='recorded' needs recorded planes")
+        if not differentiable:
+            raise ValueError("recorded mode is the differentiable forward; "
+                             "use the fused kernel for plain rendering")
+        from raymarchrenderer_tpu.diff.march import march_diff_recorded
+
+        def make_march_fn(b):
+            def march_fn(o, d, dist_mult, active):
+                return march_diff_recorded(
+                    scene, cfg, params, o, d, active,
+                    recorded["t"][b], recorded["mid"][b],
+                    recorded["hit"][b])
+            return march_fn
+
+        L = scene.n_lights
+
+        def make_shadow_fn(b):
+            from jax.ad_checkpoint import checkpoint_name
+
+            def shadow_fn(o, d, m, a, tm, li):
+                sd = checkpoint_name(recorded["sd"][b * L + li], "shadow_t")
+                return sd, None, None
+            return shadow_fn
+    elif differentiable and march_impl == "fused":
         # TPU-fast differentiable render: forward march on the fused Pallas
         # kernel (per-tile early-out), backward via the shared implicit
         # adjoint — bitwise-equal gradients to the oracle path.
@@ -326,7 +360,10 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
     def body(b, st: _TraceState):
         dist_mult = 1.0 - 2.0 * st.inside
         active_b = st.active > 0
-        t, mid, hitm = march_fn(st.o, st.d, dist_mult, active_b)
+        if march_impl == "recorded":
+            t, mid, hitm = make_march_fn(b)(st.o, st.d, dist_mult, active_b)
+        else:
+            t, mid, hitm = march_fn(st.o, st.d, dist_mult, active_b)
         hitp = st.o + st.d * t
         normal = get_normal(scene, params, cfg, hitp)
         rng = RNGStream(cfg.seed, px, py, sample, b)
@@ -359,10 +396,12 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
 
         extra = st.extra
         if direct_light and scene.n_lights:
+            sm = (make_shadow_fn(b) if march_impl == "recorded"
+                  else shadow_march_fn)
             extra = extra + _direct_light(
                 scene, params, cfg, hitp, normal, st.color, s.color,
                 rng.fork(7), hit_active & ~term, save_name=differentiable,
-                shadow_march=shadow_march_fn)
+                shadow_march=sm)
 
         if cfg.rr_start_bounce >= 0:
             # Russian roulette (`RayMarch2.glsl:480-501` semantics): a
@@ -396,7 +435,13 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
     # yields, so the loop must start from an already-computed state.
     # Semantically identical (bounce 0 always runs — every ray starts active).
     st0 = body(0, init)
-    if differentiable:
+    if march_impl == "recorded":
+        # static unroll: the bank index b must be trace-time (and the
+        # whole replay is elementwise — no loop to save)
+        out = st0
+        for b in range(1, cfg.max_bounces):
+            out = body(b, out)
+    elif differentiable:
         # reverse-mode needs a statically-bounded loop (while_loop has no
         # transpose rule)
         out = lax.fori_loop(1, cfg.max_bounces, body, st0)
@@ -446,11 +491,18 @@ def render_patch(scene: Scene, params, cfg: RenderConfig, corners,
     eye = Vec3(jnp.broadcast_to(e.x, (ph, pw)),
                jnp.broadcast_to(e.y, (ph, pw)),
                jnp.broadcast_to(e.z, (ph, pw)))
+    recorded = None
+    if march_impl == "recorded":
+        from raymarchrenderer_tpu.kernels.record import trace_record_fused
+        recorded = trace_record_fused(scene, params, cfg, eye, d, px, py,
+                                      sample, direct_light=direct_light,
+                                      interpret=interpret)
     if not cfg.separate_channels:
         channels = Vec3.full((ph, pw), 1.0, 1.0, 1.0)
         return trace_rgb(scene, params, cfg, eye, d, px, py, sample,
                          channels, direct_light, differentiable,
-                         march_impl=march_impl, interpret=interpret)
+                         march_impl=march_impl, interpret=interpret,
+                         recorded=recorded)
     total = Vec3.zeros((ph, pw))
     for ci, mask in enumerate(((1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
                                (0.0, 0.0, 1.0))):
@@ -506,11 +558,22 @@ def render_patch_spp(scene: Scene, params, cfg: RenderConfig, corners,
                     v.y.reshape(S, ph, pw).sum(0),
                     v.z.reshape(S, ph, pw).sum(0))
 
+    recorded = None
+    if march_impl == "recorded":
+        # ONE Pallas launch runs the entire multi-bounce (and shadow)
+        # march for the whole sample-folded plane; the trace below is a
+        # pure XLA shade replay over the recorded geometry
+        from raymarchrenderer_tpu.kernels.record import trace_record_fused
+        recorded = trace_record_fused(scene, params, cfg, eye, d, px, py,
+                                      sample, direct_light=direct_light,
+                                      interpret=interpret)
+
     if not cfg.separate_channels:
         channels = Vec3.full(shape, 1.0, 1.0, 1.0)
         return reduce(trace_rgb(scene, params, cfg, eye, d, px, py, sample,
                                 channels, direct_light, differentiable,
-                                march_impl=march_impl, interpret=interpret))
+                                march_impl=march_impl, interpret=interpret,
+                                recorded=recorded))
     total = Vec3.zeros(shape)
     for ci, mask in enumerate(((1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
                                (0.0, 0.0, 1.0))):

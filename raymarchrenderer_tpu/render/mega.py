@@ -48,7 +48,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from raymarchrenderer_tpu.core.rng import RNGStream
-from raymarchrenderer_tpu.core.sampling import uniform_sphere_or_hemisphere
+from raymarchrenderer_tpu.core.sampling import (uniform_sphere,
+                                                uniform_sphere_or_hemisphere)
 from raymarchrenderer_tpu.core.vecmath import Vec3, vselect
 from raymarchrenderer_tpu.render.config import RenderConfig
 from raymarchrenderer_tpu.render.integrator import get_normal
@@ -56,11 +57,24 @@ from raymarchrenderer_tpu.render.raygen import eye_vec, primary_rays
 from raymarchrenderer_tpu.scene.graph import Scene
 from raymarchrenderer_tpu.scene.nodes import ShadeCtx
 
+_PI = 3.14159265358979323846  # same literal as integrator._direct_light
+
 # Lane states.  int32 (i1 vector carries don't legalize in Mosaic).
 _MARCH = 0   # sphere-tracing the current ray segment
 _WAIT = 1    # hit found, parked until the next shade pass
 _REGEN = 2   # path finished, parked until the pass banks it / respawns
-_EXH = 3     # all samples done
+# NEE only (`direct_light=True`): the shadow march toward the current
+# light runs as just another march segment of the SAME loop — a lane in
+# _SHADOW sphere-traces (sh_o, sh_d) capped at seg_tmax (the light
+# distance) and parks as _SH_OCC (hit something first → occluded) or
+# _SH_LIT (reached the light / budget → lit, matching the oracle march's
+# exhaustion-returns-t_max semantics); the resolve pass banks the pending
+# contribution and chains to the next light or resumes the bounce ray.
+_SHADOW = 4
+_SH_LIT = 5
+_SH_OCC = 6
+_EXH = 7     # all samples done — the LARGEST state so `min(state) < _EXH`
+#              means "some lane alive" with every other state below it
 # spectral only: a parked MISS (the sky is an emitter band, so misses also
 # go through the shade pass).  Negative so `min(state) < _EXH` still means
 # "some lane alive" — encoding hit/miss in the state drops the separate
@@ -85,13 +99,27 @@ class _MegaState(NamedTuple):
     omega: jax.Array
     prev_r: jax.Array
     step_len: jax.Array
+    # NEE carries (None — i.e. absent from the pytree/loop — unless
+    # direct_light): the active shadow segment, its pending contribution,
+    # the per-path additive NEE radiance, the post-shadow resume state,
+    # the light counter, and the not-yet-marched lights' precomputed
+    # (dir, t_max, contrib) stash (a tuple of n_lights-1 entries)
+    sh_o: Vec3 = None          # shadow ray origin (hitp + n*surface_offset)
+    sh_d: Vec3 = None          # shadow ray direction (current light)
+    seg_tmax: jax.Array = None  # march cap: light distance / max_dist
+    contrib: Vec3 = None       # pending contribution of the current light
+    extra: Vec3 = None         # banked NEE radiance of the current path
+    resume: jax.Array = None   # int32 state to resume after the shadows
+    li: jax.Array = None       # int32 current light index
+    sh_store: tuple = ()       # ((d, tmax, contrib), ...) for lights 1..
 
 
 def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
                      px, py, sample0, channels: Vec3, n_samples: int = 1,
                      shade_gate: float = 32.0,
                      march_unroll: int = 1,
-                     dispersion: bool = False) -> Vec3:
+                     dispersion: bool = False,
+                     direct_light: bool = False) -> Vec3:
     """Sum of `n_samples` samples per pixel (regenerated in-loop), equal to
     Σ_s trace_rgb(sample0+s) to float32 rounding.  Forward only —
     `lax.while_loop` has no transpose; use `trace_rgb(differentiable=True)`
@@ -141,11 +169,25 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         return primary_rays(corners, px, py, cfg.width, cfg.height, rng)
 
     relax = cfg.relax_omega > 1.0
+    nee = direct_light and scene.n_lights > 0
 
     def march_step(st: _MegaState) -> _MegaState:
         marching = st.state == _MARCH
-        dist_mult = 1.0 - 2.0 * st.inside
-        p = st.o + st.d * st.t
+        if nee:
+            # shadow segments march in the SAME loop: select the lane's
+            # active segment (bounce ray vs shadow ray toward the light)
+            shadow = st.state == _SHADOW
+            seg = marching | shadow
+            o_seg = vselect(shadow, st.sh_o, st.o)
+            d_seg = vselect(shadow, st.sh_d, st.d)
+            dist_mult = jnp.where(shadow, 1.0, 1.0 - 2.0 * st.inside)
+            tmax = st.seg_tmax
+        else:
+            seg = marching
+            o_seg, d_seg = st.o, st.d
+            dist_mult = 1.0 - 2.0 * st.inside
+            tmax = cfg.max_dist
+        p = o_seg + d_seg * st.t
         # distance-only map in the hot loop; the material id is recovered
         # at the SAME hit point by the shade pass (one full map eval per
         # shade instead of id-selects on every march step) — bitwise
@@ -154,23 +196,33 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         if relax:
             # safeguarded over-relaxation (see integrator._march_relaxed):
             # a step is valid only if consecutive unbounding spheres overlap
-            fail = marching & (st.omega > 1.0) & (
+            fail = seg & (st.omega > 1.0) & (
                 dist + st.prev_r < st.step_len)
         else:
             fail = jnp.zeros(jnp.shape(st.t), bool)
-        is_hit = marching & ~fail & (dist < cfg.hit_eps)
+        is_hit = seg & ~fail & (dist < cfg.hit_eps)
         # unconditional: only marching lanes' counts are read (is_miss is
-        # masked by `marching`) and every MARCH transition resets to 0
+        # masked by `seg`) and every MARCH transition resets to 0
         steps = st.steps + 1
         # miss on the PRE-step t (parity with `march`, RayMarch.glsl:233-257)
         # or on step-budget exhaustion (march loop falling off the end).
-        is_miss = marching & ~fail & ~is_hit & (
-            (st.t >= cfg.max_dist) | (steps >= cfg.max_steps))
+        is_miss = seg & ~fail & ~is_hit & (
+            (st.t >= tmax) | (steps >= cfg.max_steps))
         sky = scene.sky(params, st.d)
-        thr = vselect(is_miss, st.thr * sky, st.thr)
-        state = jnp.where(is_hit, _WAIT,
-                          jnp.where(is_miss, _REGEN, st.state))
-        still = marching & ~is_hit & ~is_miss
+        if nee:
+            bounce_miss = is_miss & ~shadow
+            thr = vselect(bounce_miss, st.thr * sky, st.thr)
+            # shadow outcomes park for the resolve pass; budget exhaustion
+            # counts as LIT (the oracle march returns t == t_max there)
+            state = jnp.where(
+                is_hit, jnp.where(shadow, _SH_OCC, _WAIT),
+                jnp.where(is_miss, jnp.where(shadow, _SH_LIT, _REGEN),
+                          st.state))
+        else:
+            thr = vselect(is_miss, st.thr * sky, st.thr)
+            state = jnp.where(is_hit, _WAIT,
+                              jnp.where(is_miss, _REGEN, st.state))
+        still = seg & ~is_hit & ~is_miss
         if relax:
             new_len = jnp.where(fail, st.step_len * (1.0 - st.omega),
                                 dist * st.omega)
@@ -201,6 +253,9 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         term = (s.dir.x == 0.0) & (s.dir.y == 0.0) & (s.dir.z == 0.0)
         bounce = jnp.where(waiting, st.bounce + 1, st.bounce)
         done_now = term | (bounce >= cfg.max_bounces)
+        # NEE contributions use the pre-roulette throughput (the oracle
+        # computes `extra` before the RR scale/kill touches `color`)
+        pre_rr_thr = thr
         if cfg.rr_start_bounce >= 0:
             # Russian roulette (`RayMarch2.glsl:480-501` semantics), keyed
             # exactly like the oracle (trace_rgb: u = rng.fork(13).next()
@@ -231,14 +286,87 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         steps = jnp.where(waiting, 0, st.steps)
         st = st._replace(o=o, d=d, t=t, thr=thr, inside=inside,
                          bounce=bounce, state=state, steps=steps)
-        return _reset_relax(st, waiting) if relax else st
+        st = _reset_relax(st, waiting) if relax else st
+        if not nee:
+            return st
+        # --- stage the shadow segment chain (gen-2 direct-light pattern,
+        # `RayMarch2.glsl:480-501` / `integrator._direct_light`): every
+        # non-terminated hit detours through light 0's shadow march; the
+        # remaining lights' (dir, t_max, contrib) go to the stash.  All
+        # draws keyed exactly like the oracle: rng.fork(7).fork(101+li).
+        do_nee = waiting & ~term
+        nrng = rng.fork(7)
+        sh_o_new = hitp + normal * cfg.surface_offset
+        per_light = []
+        for lix in range(scene.n_lights):
+            lrng = nrng.fork(101 + lix)
+            lpos, lpower, lradius = scene.light(params, lix)
+            jit = uniform_sphere(lrng.next(), lrng.next()) * lradius
+            target = lpos + jit
+            delta = target - hitp
+            dist_l = delta.length()
+            ldir = delta / jnp.maximum(dist_l, 1e-8)
+            cos_t = jnp.maximum(ldir.dot(normal), 0.0)
+            fall = lpower / jnp.maximum(dist_l * dist_l, 1e-8)
+            per_light.append((ldir, dist_l,
+                              pre_rr_thr * (cos_t * fall / _PI)))
+        d0_, tm0, c0 = per_light[0]
+        resume = jnp.where(do_nee, st.state, st.resume)
+        store = tuple(
+            (vselect(do_nee, dL, od), jnp.where(do_nee, tL, otm),
+             vselect(do_nee, cL, oc))
+            for (dL, tL, cL), (od, otm, oc)
+            in zip(per_light[1:], st.sh_store))
+        return st._replace(
+            state=jnp.where(do_nee, _SHADOW, st.state), resume=resume,
+            li=jnp.where(do_nee, 0, st.li),
+            sh_o=vselect(do_nee, sh_o_new, st.sh_o),
+            sh_d=vselect(do_nee, d0_, st.sh_d),
+            seg_tmax=jnp.where(do_nee, tm0, st.seg_tmax),
+            contrib=vselect(do_nee, c0, st.contrib), sh_store=store)
+
+    def resolve(st: _MegaState) -> _MegaState:
+        """Bank the finished shadow march's contribution and chain to the
+        next light, or resume the lane's bounce ray / regeneration."""
+        parked = (st.state == _SH_LIT) | (st.state == _SH_OCC)
+        lit = st.state == _SH_LIT
+        extra = Vec3(st.extra.x + jnp.where(lit, st.contrib.x, 0.0),
+                     st.extra.y + jnp.where(lit, st.contrib.y, 0.0),
+                     st.extra.z + jnp.where(lit, st.contrib.z, 0.0))
+        li2 = st.li + 1
+        sh_d, seg_tmax, contrib = st.sh_d, st.seg_tmax, st.contrib
+        if scene.n_lights > 1:
+            more = parked & (li2 < scene.n_lights)
+            for k, (dL, tL, cL) in enumerate(st.sh_store):
+                sel = more & (li2 == (k + 1))
+                sh_d = vselect(sel, dL, sh_d)
+                seg_tmax = jnp.where(sel, tL, seg_tmax)
+                contrib = vselect(sel, cL, contrib)
+        else:
+            more = jnp.zeros(jnp.shape(st.t), bool)
+        state = jnp.where(parked,
+                          jnp.where(more, _SHADOW, st.resume), st.state)
+        # lanes leaving the shadow chain march their bounce ray again:
+        # restore the uncapped segment
+        seg_tmax = jnp.where(parked & ~more, cfg.max_dist, seg_tmax)
+        st = st._replace(
+            state=state, extra=extra,
+            li=jnp.where(parked, jnp.where(more, li2, 0), st.li),
+            sh_d=sh_d, seg_tmax=seg_tmax, contrib=contrib,
+            t=jnp.where(parked, 0.0, st.t),
+            steps=jnp.where(parked, 0, st.steps))
+        return _reset_relax(st, parked) if relax else st
 
     def regen(st: _MegaState) -> _MegaState:
         """Bank finished paths and respawn the lane on its next sample."""
         pending = st.state == _REGEN
-        acc = Vec3(st.acc.x + jnp.where(pending, st.thr.x, 0.0),
-                   st.acc.y + jnp.where(pending, st.thr.y, 0.0),
-                   st.acc.z + jnp.where(pending, st.thr.z, 0.0))
+        if nee:
+            val = st.thr + st.extra  # oracle: out.color + out.extra
+        else:
+            val = st.thr
+        acc = Vec3(st.acc.x + jnp.where(pending, val.x, 0.0),
+                   st.acc.y + jnp.where(pending, val.y, 0.0),
+                   st.acc.z + jnp.where(pending, val.z, 0.0))
         s_idx = jnp.where(pending, st.s_idx + 1, st.s_idx)
         exhausted = s_idx >= n_paths
         state = jnp.where(pending,
@@ -251,8 +379,14 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         steps = jnp.where(pending, 0, st.steps)
         bounce = jnp.where(pending, 0, st.bounce)
         inside = jnp.where(pending, 0.0, st.inside)
-        out = _MegaState(o, d, t, thr, acc, inside, bounce, s_idx, state,
-                         steps, st.omega, st.prev_r, st.step_len)
+        out = st._replace(o=o, d=d, t=t, thr=thr, acc=acc, inside=inside,
+                          bounce=bounce, s_idx=s_idx, state=state,
+                          steps=steps)
+        if nee:
+            out = out._replace(
+                extra=Vec3(jnp.where(pending, 0.0, st.extra.x),
+                           jnp.where(pending, 0.0, st.extra.y),
+                           jnp.where(pending, 0.0, st.extra.z)))
         return _reset_relax(out, pending) if relax else out
 
     def _reset_relax(st: _MegaState, mask) -> _MegaState:
@@ -262,6 +396,10 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
             step_len=jnp.where(mask, 0.0, st.step_len))
 
     def parked_pass(st: _MegaState) -> _MegaState:
+        if nee:
+            # shade stages new shadow segments; resolve banks finished
+            # ones (possibly un-parking lanes straight into regen below)
+            return regen(resolve(shade(st)))
         return regen(shade(st))
 
     def body(st: _MegaState) -> _MegaState:
@@ -272,9 +410,11 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
             # reductions, no cond.  Right when segments are short (relaxed
             # march) and the chunk is small.
             return parked_pass(st)
-        n_march = jnp.sum((st.state == _MARCH).astype(jnp.int32))
-        n_park = jnp.sum(((st.state == _WAIT)
-                          | (st.state == _REGEN)).astype(jnp.int32))
+        n_march = jnp.sum(((st.state == _MARCH)
+                           | (st.state == _SHADOW)).astype(jnp.int32))
+        n_park = jnp.sum(((st.state == _WAIT) | (st.state == _REGEN)
+                          | (st.state == _SH_LIT)
+                          | (st.state == _SH_OCC)).astype(jnp.int32))
         # Batch the expensive pass over many parked lanes, but never let the
         # tile stall with everyone parked (n_march == 0 always fires).
         do_pass = (n_park > 0) & (
@@ -293,6 +433,14 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         inside=zero, bounce=izero, s_idx=izero, state=izero, steps=izero,
         omega=jnp.full(shape, max(cfg.relax_omega, 1.0), jnp.float32),
         prev_r=zero, step_len=zero)
+    if nee:
+        init = init._replace(
+            sh_o=Vec3.zeros(shape), sh_d=Vec3.zeros(shape),
+            seg_tmax=jnp.full(shape, cfg.max_dist, jnp.float32),
+            contrib=Vec3.zeros(shape), extra=Vec3.zeros(shape),
+            resume=izero, li=izero,
+            sh_store=tuple((Vec3.zeros(shape), zero, Vec3.zeros(shape))
+                           for _ in range(scene.n_lights - 1)))
     # Peel one march step so the while_loop carries enter with concrete
     # (non-splat) Mosaic layouts — same reason trace_rgb peels bounce 0.
     st0 = march_step(init)
@@ -302,12 +450,14 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
 
 def trace_mega(scene: Scene, params, cfg: RenderConfig, corners,
                px, py, sample, channels: Vec3,
-               shade_gate: float = 1.0, march_unroll: int = 1) -> Vec3:
+               shade_gate: float = 1.0, march_unroll: int = 1,
+               direct_light: bool = False) -> Vec3:
     """Single-sample megakernel trace: bitwise equal to `trace_rgb` (the
     primary ray is regenerated internally from the same RNG stream)."""
     return trace_mega_paths(scene, params, cfg, corners, px, py, sample,
                             channels, n_samples=1, shade_gate=shade_gate,
-                            march_unroll=march_unroll)
+                            march_unroll=march_unroll,
+                            direct_light=direct_light)
 
 
 class _SpecState(NamedTuple):

@@ -138,3 +138,104 @@ def test_mega_rr_bitwise_matches_oracle(n_samples):
                                   corners, s, n_samples=n_samples)
     )(params, jnp.uint32(2)))
     assert not np.array_equal(m, off)
+
+
+class TestMegaNEE:
+    """NEE in the megakernel: shadow marches run as extra segments of the
+    same in-kernel loop (`_SHADOW`/`_SH_LIT`/`_SH_OCC` states), keyed
+    exactly like the wavefront oracle's `_direct_light`
+    (`RayMarch2.glsl:480-501`).  Tolerance, not bitwise: the NEE falloff
+    math (length/1/dist^2) FMA-contracts differently across compilations —
+    the ORACLE itself differs eager-vs-jit at ~2e-4 here."""
+
+    @staticmethod
+    def _close(a, b):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        assert float((d > 1e-3).mean()) < 1e-3, (d.max(), (d > 1e-3).mean())
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-3)
+
+    def _two_light_scene(self):
+        from raymarchrenderer_tpu.scene.builtin import SceneBuilder
+        b = SceneBuilder()
+        m = b.diffuse([0.6, 0.5, 0.4])
+        g = b.glossy([0.8, 0.8, 0.8], 0.2)
+        b.sphere(m, [0.0, 1.0, 0.0], 1.0)
+        b.sphere(g, [2.2, 0.7, 0.5], 0.7)
+        b.box(m, [0.0, -0.05, 0.0], [8.0, 0.05, 8.0])
+        b.light([3, 7, -3], 60.0, 0.8)
+        b.light([-4, 5, 2], 40.0, 0.5)
+        b.sky(0.05)
+        return b.build()
+
+    @pytest.mark.parametrize("n_samples", [1, 2])
+    def test_single_light_matches_oracle(self, n_samples):
+        from raymarchrenderer_tpu.scene.builtin import csg_demo
+        scene = csg_demo()
+        params = scene.init_params()
+        corners = Camera(aspect=1.0).corner_rays_flat()
+        px, py = pixel_grid(CFG.width, CFG.height)
+        ch = Vec3.full((CFG.height, CFG.width), 1.0, 1.0, 1.0)
+        acc = None
+        for k in range(n_samples):
+            o = np.asarray(render_sample(scene, params, CFG, corners,
+                                         jnp.uint32(4 + k),
+                                         direct_light=True).stack(-1))
+            acc = o if acc is None else acc + o
+        m = np.asarray(jax.jit(lambda p: mega.trace_mega_paths(
+            scene, p, CFG, corners, px, py, jnp.uint32(4), ch,
+            n_samples=n_samples, march_unroll=4,
+            direct_light=True).stack(-1))(params))
+        self._close(acc, m)
+        # NEE actually contributed: direct_light off differs
+        off = np.asarray(jax.jit(lambda p: mega.trace_mega_paths(
+            scene, p, CFG, corners, px, py, jnp.uint32(4), ch,
+            n_samples=n_samples, march_unroll=4).stack(-1))(params))
+        assert not np.array_equal(m, off)
+
+    def test_two_lights_matches_oracle(self):
+        scene = self._two_light_scene()
+        assert scene.n_lights == 2
+        params = scene.init_params()
+        corners = Camera(aspect=1.0).corner_rays_flat()
+        px, py = pixel_grid(CFG.width, CFG.height)
+        ch = Vec3.full((CFG.height, CFG.width), 1.0, 1.0, 1.0)
+        o = np.asarray(render_sample(scene, params, CFG, corners,
+                                     jnp.uint32(7),
+                                     direct_light=True).stack(-1))
+        m = np.asarray(jax.jit(lambda p: mega.trace_mega(
+            scene, p, CFG, corners, px, py, jnp.uint32(7), ch,
+            direct_light=True).stack(-1))(params))
+        self._close(o, m)
+
+    def test_nee_with_rr_matches_oracle(self):
+        """RR kill preserves already-banked NEE radiance (the oracle's
+        `extra` survives the kill) — combined estimator stays bitwise."""
+        from raymarchrenderer_tpu.scene.builtin import csg_demo
+        scene = csg_demo()
+        params = scene.init_params()
+        cfg = CFG.replace(rr_start_bounce=1, rr_min_prob=0.05)
+        corners = Camera(aspect=1.0).corner_rays_flat()
+        px, py = pixel_grid(cfg.width, cfg.height)
+        ch = Vec3.full((cfg.height, cfg.width), 1.0, 1.0, 1.0)
+        o = np.asarray(render_sample(scene, params, cfg, corners,
+                                     jnp.uint32(1),
+                                     direct_light=True).stack(-1))
+        m = np.asarray(jax.jit(lambda p: mega.trace_mega(
+            scene, p, cfg, corners, px, py, jnp.uint32(1), ch,
+            direct_light=True).stack(-1))(params))
+        self._close(o, m)
+
+    def test_nee_gate_and_unroll_invariant(self):
+        from raymarchrenderer_tpu.scene.builtin import csg_demo
+        scene = csg_demo()
+        params = scene.init_params()
+        corners = Camera(aspect=1.0).corner_rays_flat()
+        px, py = pixel_grid(CFG.width, CFG.height)
+        ch = Vec3.full((CFG.height, CFG.width), 1.0, 1.0, 1.0)
+        outs = [np.asarray(jax.jit(lambda p, g=g, u=u: mega.trace_mega_paths(
+            scene, p, CFG, corners, px, py, jnp.uint32(0), ch, n_samples=2,
+            shade_gate=g, march_unroll=u,
+            direct_light=True).stack(-1))(params))
+            for g, u in ((0.0, 1), (1.0, 4), (32.0, 8))]
+        for o in outs[1:]:
+            np.testing.assert_array_equal(outs[0], o)

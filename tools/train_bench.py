@@ -1,16 +1,19 @@
 """BASELINE config 5 demo: full-frame sharded inverse-rendering train step.
 
-Runs `parallel.sharding.train_step_sharded` — fused Pallas forward march
-(`march_impl="fused"`), implicit-function adjoint, psum grad all-reduce,
-SGD — at a full 1024²+ frame on the available mesh (1×1 on a single chip;
-the multi-device sharding of the same code path is validated by
-`__graft_entry__.dryrun_multichip` on an 8-device mesh), and reports the
-train-step rate next to the forward-only fused render rate so the
-backward's cost is an honest multiple, not a guess.
+Runs `parallel.sharding.train_step_sharded` — by default on the RECORDED
+differentiable forward (`march_impl="recorded"`: the whole multi-bounce
+march runs as ONE Pallas launch per chip, the XLA side replays only the
+shade chain with the implicit adjoint) — at a full 1024²+ frame on the
+available mesh (1×1 on a single chip; the multi-device sharding of the
+same code path is validated by `__graft_entry__.dryrun_multichip` on an
+8-device mesh), and reports the train-step rate next to the forward-only
+fused render rate so the backward's cost is an honest multiple, not a
+guess.
 
 Knobs: TRAIN_SIZE (default 1024), TRAIN_SPP (default 4), TRAIN_STEPS
 (default 3 timed steps), TRAIN_BOUNCES (default 4 — inverse rendering
-wants short transport; 16-bounce budgets are a forward-render default).
+wants short transport; 16-bounce budgets are a forward-render default),
+TRAIN_IMPL (recorded | fused | oracle).
 
 Prints one JSON line; `bench.py` stays the driver headline.
 """
@@ -35,6 +38,7 @@ def main():
     steps = int(os.environ.get("TRAIN_STEPS", "3"))
     bounces = int(os.environ.get("TRAIN_BOUNCES", "4"))
     remat = os.environ.get("TRAIN_REMAT", "1") == "1"
+    impl = os.environ.get("TRAIN_IMPL", "recorded")
     taps = int(os.environ.get("TRAIN_NORMAL_TAPS", "4"))
 
     from raymarchrenderer_tpu.core.camera import Camera
@@ -72,7 +76,7 @@ def main():
 
     def step(p, s):
         return train_step_sharded(scene, p, cfg, corners, target, mesh,
-                                  spp=spp, lr=1e-3, march_impl="fused",
+                                  spp=spp, lr=1e-3, march_impl=impl,
                                   interpret=interpret, remat=remat)
 
     with mesh:
@@ -91,11 +95,11 @@ def main():
         # trace + loss, no grad): the honest backward-overhead denominator
         jax.block_until_ready(train_loss_sharded(
             scene, params, cfg, corners, target, mesh, spp=spp,
-            march_impl="fused", interpret=interpret))
+            march_impl=impl, interpret=interpret))
         t0 = time.perf_counter()
         jax.block_until_ready(train_loss_sharded(
             scene, p, cfg, corners, target, mesh, spp=spp,
-            march_impl="fused", interpret=interpret))
+            march_impl=impl, interpret=interpret))
         loss_dt = time.perf_counter() - t0
     dt = min(times)
     mpix_spp_s = size * size * spp / dt / 1e6
@@ -112,6 +116,7 @@ def main():
         "train_vs_megakernel_forward": round(fwd_rate / mpix_spp_s, 2),
         "backward_overhead_vs_own_forward": round(loss_rate / mpix_spp_s, 2),
         "remat": remat,
+        "march_impl": impl,
         "loss": round(float(loss), 6),
         "wall_s": round(dt, 3),
     }))
