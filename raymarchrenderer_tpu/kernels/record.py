@@ -53,12 +53,14 @@ _PI = 3.14159265358979323846
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scene", "cfg", "direct_light", "block", "interpret"))
+    static_argnames=("scene", "cfg", "direct_light", "block", "interpret",
+                     "mode"))
 def trace_record_fused(scene: Scene, params, cfg: RenderConfig, eye: Vec3,
                        d0: Vec3, px, py, sample,
                        direct_light: bool = False,
                        block=(DEFAULT_BH, DEFAULT_BW),
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       corners=None, mode: str = "auto"):
     """Run the full `trace_rgb` forward over arbitrary (H, W) ray planes in
     ONE Pallas launch and return the recorded march planes:
 
@@ -68,12 +70,23 @@ def trace_record_fused(scene: Scene, params, cfg: RenderConfig, eye: Vec3,
     B = cfg.max_bounces.  Inputs are planes (the sample-folded layout of
     `render_patch_spp` works directly: `sample` is a per-lane plane).
     Everything is detached — gradients come from the replay
-    (`trace_rgb(march_impl="recorded", recorded=...)`)."""
+    (`trace_rgb(march_impl="recorded", recorded=...)`).
+
+    `mode="mega"` (the default when `corners` is given) records from the
+    megakernel schedule (`render.mega.trace_mega_paths(record_banks=True)`:
+    per-lane bounce progression, shadow marches as extra segments) — on a
+    v5e this runs ~4× the bounce-synchronous `mode="wavefront"` fallback,
+    whose per-bounce tile barriers cost Σ_b max_lanes(steps_b)."""
     if cfg.separate_channels:
         raise NotImplementedError(
             "recorded differentiable forward assumes RGB transport "
             "(channels == 1); dispersion trains on the per-bounce path")
+    if mode == "auto":
+        mode = "mega" if corners is not None else "wavefront"
     params = lax.stop_gradient(params)
+    if mode == "mega":
+        return _record_mega(scene, params, cfg, corners, px, py, sample,
+                            direct_light, block, interpret)
     shape = jnp.shape(d0.x)
     h, w = shape
     B = cfg.max_bounces
@@ -227,6 +240,101 @@ def trace_record_fused(scene: Scene, params, cfg: RenderConfig, eye: Vec3,
         out_shape=tuple(out_shapes),
         interpret=interpret,
     )(*leaves2d, *planes)
+    crop = lambda a: a[:, :h, :w]
+    rec = {"t": crop(outs[0]), "mid": crop(outs[1]), "hit": crop(outs[2])}
+    if nee:
+        rec["sd"] = crop(outs[3])
+    return rec
+
+
+def _record_mega(scene: Scene, params, cfg: RenderConfig, corners, px, py,
+                 sample, direct_light: bool, block, interpret: bool):
+    """Megakernel-schedule recorder: one path per lane (the sample-folded
+    layout), per-lane bounce progression, banked residual writes at the
+    shade/resolve passes (`render.mega.trace_mega_paths(record_banks)`)."""
+    from raymarchrenderer_tpu.render.mega import trace_mega_paths
+
+    shape = jnp.shape(px)
+    h, w = shape
+    B = cfg.max_bounces
+    nee = direct_light and scene.n_lights > 0
+    L = scene.n_lights if nee else 0
+    bh, bw = min(block[0], h), min(block[1], w)
+    hp = -(-h // bh) * bh
+    wp = -(-w // bw) * bw
+    march_unroll = 1 if interpret else 32
+
+    leaves, treedef = jax.tree.flatten(params)
+    leaves = [jnp.asarray(l, jnp.float32) for l in leaves]
+    leaf_shapes = tuple((jnp.shape(l), int(l.size)) for l in leaves)
+    leaves2d = [l.reshape(1, l.size) for l in leaves if l.size]
+    n_shipped = len(leaves2d)
+
+    f32, i32 = jnp.float32, jnp.int32
+    planes = [jnp.asarray(px).astype(i32), jnp.asarray(py).astype(i32),
+              lax.bitcast_convert_type(
+                  jnp.broadcast_to(jnp.asarray(sample).astype(jnp.uint32),
+                                   shape), i32)]
+    if (hp, wp) != (h, w):
+        # padded lanes trace real rays at out-of-frame coords; cropped
+        planes = [jnp.pad(a, ((0, hp - h), (0, wp - w))) for a in planes]
+    corners_arr = jnp.stack([jnp.asarray(c, jnp.float32) for c in corners])
+
+    def kernel(corners_ref, *refs):
+        param_refs = refs[:n_shipped]
+        pxr, pyr, sr = refs[n_shipped:n_shipped + 3]
+        outs = refs[n_shipped + 3:]
+        if nee:
+            t_ref, mid_ref, hit_ref, sd_ref = outs
+        else:
+            t_ref, mid_ref, hit_ref = outs
+        rebuilt = []
+        ri = 0
+        for shp, size in leaf_shapes:
+            if size == 0:
+                rebuilt.append(jnp.zeros(shp, jnp.float32))
+            else:
+                rebuilt.append(param_refs[ri][:].reshape(shp))
+                ri += 1
+        p = jax.tree.unflatten(treedef, rebuilt)
+        kcorners = tuple(corners_ref[k, :] for k in range(5))
+        kpx = pxr[:]
+        kpy = pyr[:]
+        ksample = lax.bitcast_convert_type(sr[:], jnp.uint32)
+        ch = Vec3.full((bh, bw), 1.0, 1.0, 1.0)
+        _, rec = trace_mega_paths(scene, p, cfg, kcorners, kpx, kpy,
+                                  ksample, ch, n_samples=1,
+                                  shade_gate=0.0,
+                                  march_unroll=march_unroll,
+                                  direct_light=direct_light,
+                                  record_banks=True)
+        for k in range(B):
+            t_ref[k] = rec[k]
+            mid_ref[k] = rec[B + k]
+            hit_ref[k] = rec[2 * B + k]
+        for j in range(B * L):
+            sd_ref[j] = rec[3 * B + j]
+
+    tile = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    bank = lambda n: pl.BlockSpec((n, bh, bw), lambda i, j: (0, i, j),
+                                  memory_space=pltpu.VMEM)
+    small_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_specs = [bank(B)] * 3
+    out_shapes = [jax.ShapeDtypeStruct((B, hp, wp), f32),
+                  jax.ShapeDtypeStruct((B, hp, wp), i32),
+                  jax.ShapeDtypeStruct((B, hp, wp), i32)]
+    if nee:
+        out_specs.append(bank(B * L))
+        out_shapes.append(jax.ShapeDtypeStruct((B * L, hp, wp), f32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(hp // bh, wp // bw),
+        in_specs=[small_vmem] * (n_shipped + 1) + [tile] * 3,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(corners_arr, *leaves2d, *planes)
     crop = lambda a: a[:, :h, :w]
     rec = {"t": crop(outs[0]), "mid": crop(outs[1]), "hit": crop(outs[2])}
     if nee:

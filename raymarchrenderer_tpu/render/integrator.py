@@ -496,7 +496,7 @@ def render_patch(scene: Scene, params, cfg: RenderConfig, corners,
         from raymarchrenderer_tpu.kernels.record import trace_record_fused
         recorded = trace_record_fused(scene, params, cfg, eye, d, px, py,
                                       sample, direct_light=direct_light,
-                                      interpret=interpret)
+                                      interpret=interpret, corners=corners)
     if not cfg.separate_channels:
         channels = Vec3.full((ph, pw), 1.0, 1.0, 1.0)
         return trace_rgb(scene, params, cfg, eye, d, px, py, sample,
@@ -566,7 +566,7 @@ def render_patch_spp(scene: Scene, params, cfg: RenderConfig, corners,
         from raymarchrenderer_tpu.kernels.record import trace_record_fused
         recorded = trace_record_fused(scene, params, cfg, eye, d, px, py,
                                       sample, direct_light=direct_light,
-                                      interpret=interpret)
+                                      interpret=interpret, corners=corners)
 
     if not cfg.separate_channels:
         channels = Vec3.full(shape, 1.0, 1.0, 1.0)

@@ -112,6 +112,11 @@ class _MegaState(NamedTuple):
     resume: jax.Array = None   # int32 state to resume after the shadows
     li: jax.Array = None       # int32 current light index
     sh_store: tuple = ()       # ((d, tmax, contrib), ...) for lights 1..
+    # record-mode banks (record_banks=True, n_samples==1): flat tuple
+    # (t[0..B-1], mid[0..B-1], hit[0..B-1], sd[0..B*L-1]) of per-lane
+    # planes — the per-bounce march residuals the differentiable replay
+    # consumes (`kernels.record.trace_record_fused(mode="mega")`)
+    rec: tuple = ()
 
 
 def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
@@ -119,7 +124,8 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
                      shade_gate: float = 32.0,
                      march_unroll: int = 1,
                      dispersion: bool = False,
-                     direct_light: bool = False) -> Vec3:
+                     direct_light: bool = False,
+                     record_banks: bool = False):
     """Sum of `n_samples` samples per pixel (regenerated in-loop), equal to
     Σ_s trace_rgb(sample0+s) to float32 rounding.  Forward only —
     `lax.while_loop` has no transpose; use `trace_rgb(differentiable=True)`
@@ -170,6 +176,12 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
 
     relax = cfg.relax_omega > 1.0
     nee = direct_light and scene.n_lights > 0
+    if record_banks and (n_samples != 1 or dispersion):
+        raise ValueError("record_banks wants one path per lane "
+                         "(n_samples=1, no dispersion) — the train path's "
+                         "sample-folded plane layout")
+    B = cfg.max_bounces
+    L = scene.n_lights if nee else 0
 
     def march_step(st: _MegaState) -> _MegaState:
         marching = st.state == _MARCH
@@ -240,6 +252,19 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         waiting = st.state == _WAIT
         hitp = st.o + st.d * st.t
         _, mid = scene.map(params, hitp, cfg.max_dist)
+        if record_banks:
+            # bank this hit's march residuals at the lane's bounce slot.
+            # Misses and post-termination bounces never reach here — their
+            # slots keep the init values (t=max_dist, mid=-1, hit=0),
+            # which are exactly what the oracle march returns for missed /
+            # inactive lanes, so the replay is residual-complete.
+            rec = list(st.rec)
+            for k in range(B):
+                selk = waiting & (st.bounce == k)
+                rec[k] = jnp.where(selk, st.t, rec[k])
+                rec[B + k] = jnp.where(selk, mid, rec[B + k])
+                rec[2 * B + k] = jnp.where(selk, 1, rec[2 * B + k])
+            st = st._replace(rec=tuple(rec))
         normal = get_normal(scene, params, cfg, hitp)
         _, s_id = lane_streams(st.s_idx)
         rng = RNGStream(cfg.seed, px, py, s_id, st.bounce)
@@ -330,6 +355,21 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         next light, or resume the lane's bounce ray / regeneration."""
         parked = (st.state == _SH_LIT) | (st.state == _SH_OCC)
         lit = st.state == _SH_LIT
+        if record_banks:
+            # bank the resolved visibility (saturated — ulp-proof against
+            # the replay re-deriving dist_l, see kernels/record.py) at the
+            # (bounce, light) slot; st.bounce was already incremented by
+            # the staging shade pass.
+            rec = list(st.rec)
+            b_idx = st.bounce - 1
+            for k in range(B):
+                for lk in range(L):
+                    sel = parked & (b_idx == k) & (st.li == lk)
+                    slot = 3 * B + k * L + lk
+                    rec[slot] = jnp.where(
+                        sel, jnp.where(lit, jnp.float32(3.4e38),
+                                       jnp.float32(0.0)), rec[slot])
+            st = st._replace(rec=tuple(rec))
         extra = Vec3(st.extra.x + jnp.where(lit, st.contrib.x, 0.0),
                      st.extra.y + jnp.where(lit, st.contrib.y, 0.0),
                      st.extra.z + jnp.where(lit, st.contrib.z, 0.0))
@@ -441,10 +481,21 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
             resume=izero, li=izero,
             sh_store=tuple((Vec3.zeros(shape), zero, Vec3.zeros(shape))
                            for _ in range(scene.n_lights - 1)))
+    if record_banks:
+        # defaults = the oracle march's missed/inactive-lane returns
+        init = init._replace(rec=(
+            tuple(jnp.full(shape, cfg.max_dist, jnp.float32)
+                  for _ in range(B))
+            + tuple(jnp.full(shape, -1, jnp.int32) for _ in range(B))
+            + tuple(jnp.zeros(shape, jnp.int32) for _ in range(B))
+            + tuple(jnp.full(shape, 3.4e38, jnp.float32)
+                    for _ in range(B * L))))
     # Peel one march step so the while_loop carries enter with concrete
     # (non-splat) Mosaic layouts — same reason trace_rgb peels bounce 0.
     st0 = march_step(init)
     out = lax.while_loop(cond, body, st0)
+    if record_banks:
+        return out.acc, out.rec
     return out.acc
 
 
