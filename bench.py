@@ -58,7 +58,22 @@ def main():
     # The reference's HDR asset is stripped from the mount, so a synthetic
     # 512x1024 gradient sky stands in (identical lookup work).
     use_env = os.environ.get("BENCH_ENV", "0") == "1" and mode == "rgb"
-    if use_env:
+    # BENCH_DIRECT=1: light-sampling workload (NEE + soft shadows via
+    # light marching, `RayMarch2.glsl:480-501` / BASELINE config 2) on the
+    # same geometry + one sphere light — shadow marches run as extra
+    # in-loop segments of the megakernel.
+    use_nee = os.environ.get("BENCH_DIRECT", "0") == "1" and mode == "rgb"
+    if use_nee:
+        from raymarchrenderer_tpu.scene.builtin import SceneBuilder
+        b = SceneBuilder()
+        m_floor = b.diffuse([0.8, 0.8, 0.8])
+        m_ball = b.diffuse([0.2, 0.8, 0.3])
+        b.box(m_floor, [0, -0.025, 0], [32, 0.05, 32])
+        b.sphere(m_ball, [0, 1, 0], 1.0)
+        b.light([6, 8, -4], 60.0, 0.8)
+        b.sky(0.015)
+        scene = b.build()
+    elif use_env:
         import numpy as _np
 
         from raymarchrenderer_tpu.scene.builtin import SceneBuilder
@@ -95,8 +110,9 @@ def main():
         # one launch, in-kernel spp loop (megakernel mode): samples
         # accumulate in VMEM, HBM sees one write per tile
         step = jax.jit(lambda p, c, s: render_fused(
-            scene, p, cfg, c, s, n_samples=spp))
-        impl = ("pallas-env-wavefront" if use_env
+            scene, p, cfg, c, s, n_samples=spp, direct_light=use_nee))
+        impl = ("pallas-mega-nee" if use_nee
+                else "pallas-env-wavefront" if use_env
                 else "pallas-mega-dispersion" if dispersion
                 else "pallas-mega")
     else:
@@ -165,6 +181,13 @@ def main():
                                          / vpu_peak, 4),
             **prof,
         })
+        # measured divergence bound: fraction of megakernel march-step
+        # lane slots that actually marched (the rest were parked between
+        # shade-pass cadences or exhausted) — see docs/performance.md
+        from raymarchrenderer_tpu.utils.metrics import mega_occupancy_profile
+        result.update(mega_occupancy_profile(
+            scene, params, mats, cfg, corners, jnp.uint32(1),
+            n_samples=min(spp, 128), tiles=4))
     print(json.dumps(result))
 
 

@@ -531,16 +531,27 @@ class _SpecState(NamedTuple):
     omega: jax.Array
     prev_r: jax.Array
     step_len: jax.Array
+    # occupancy counters (None unless with_occupancy): per-lane counts of
+    # march_step calls spent MARCHING vs total
+    m_cnt: jax.Array = None
+    tot_cnt: jax.Array = None
 
 
 def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
                         corners, px, py, sample0, n_samples: int = 1,
                         shade_gate: float = 0.0,
-                        march_unroll: int = 1) -> Vec3:
+                        march_unroll: int = 1,
+                        with_occupancy: bool = False):
     """Spectral twin of `trace_mega_paths`: sum over `n_samples` of
     `wavelengthToColor(λ)·power` per pixel, bitwise equal to
     Σ_s render_sample_spectral(sample0+s) (same RNG slots per
-    (pixel, sample, bounce)).  Forward only."""
+    (pixel, sample, bounce)).  Forward only.
+
+    `with_occupancy=True` additionally returns (marching_steps, total
+    steps) per-lane counters: every `march_step` increments `total` for
+    every lane and `marching` only where the lane is in `_MARCH` — their
+    ratio is the tile's masked-lane occupancy (the divergence bound of
+    the megakernel schedule; `utils.metrics.mega_occupancy_profile`)."""
     from raymarchrenderer_tpu.core.spectral import wavelength_to_rgb
     from raymarchrenderer_tpu.render.spectral_integrator import (
         _apply_band, _lookup)
@@ -561,6 +572,9 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
 
     def march_step(st: _SpecState) -> _SpecState:
         marching = st.state == _MARCH
+        if with_occupancy:
+            st = st._replace(m_cnt=st.m_cnt + marching.astype(jnp.int32),
+                             tot_cnt=st.tot_cnt + 1)
         p = st.o + st.d * st.t
         dist = scene.map_dist(params, p, cfg.max_dist)
         if relax:
@@ -679,6 +693,10 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
         bounce=izero, s_idx=izero, state=izero, steps=izero,
         omega=jnp.full(shape, max(cfg.relax_omega, 1.0), jnp.float32),
         prev_r=zero, step_len=zero)
+    if with_occupancy:
+        init = init._replace(m_cnt=izero, tot_cnt=izero)
     st0 = march_step(init)
     out = lax.while_loop(cond, body, st0)
+    if with_occupancy:
+        return out.acc, out.m_cnt, out.tot_cnt
     return out.acc

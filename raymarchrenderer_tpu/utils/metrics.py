@@ -21,6 +21,7 @@ sample and only paid when metrics are requested).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import time
 from typing import Optional
@@ -179,3 +180,51 @@ class MetricsLogger:
         if self._f:
             self._f.close()
             self._f = None
+
+
+def mega_occupancy_profile(scene, params, mats, cfg, corners, sample,
+                           n_samples: int = 8, tiles: int = 8,
+                           bh: int = 32, bw: int = 128,
+                           march_unroll: int = 32) -> dict:
+    """Measured masked-lane occupancy of the spectral megakernel schedule
+    — the divergence bound of the production kernel.
+
+    Runs `trace_mega_spectral(with_occupancy=True)` on `tiles` (bh, bw)
+    tiles spread over the frame (each tile's XLA while_loop has exactly
+    the per-tile exit semantics of the Pallas kernel's programs) and
+    returns marching-steps / total-steps: the fraction of march_step lane
+    slots that actually marched; the rest were parked (hit/miss waiting
+    for the next shade pass cadence, or exhausted stragglers)."""
+    import numpy as np
+
+    from raymarchrenderer_tpu.render.mega import trace_mega_spectral
+
+    th, tw = max(cfg.height // bh, 1), max(cfg.width // bw, 1)
+    idxs = np.unique(np.linspace(0, th * tw - 1, tiles).astype(int))
+    m_tot = 0.0
+    t_tot = 0.0
+
+    @functools.partial(jax.jit, static_argnames=("oy", "ox"))
+    def one(s, oy, ox):
+        py = (oy + jnp.arange(bh, dtype=jnp.int32)[:, None]
+              + jnp.zeros((bh, bw), jnp.int32))
+        px = (ox + jnp.arange(bw, dtype=jnp.int32)[None, :]
+              + jnp.zeros((bh, bw), jnp.int32))
+        _, m, t = trace_mega_spectral(scene, params, mats, cfg, corners,
+                                      px, py, s, n_samples=n_samples,
+                                      shade_gate=0.0,
+                                      march_unroll=march_unroll,
+                                      with_occupancy=True)
+        return jnp.sum(m), jnp.sum(t)
+
+    for ti in idxs:
+        i, j = divmod(int(ti), tw)
+        m, t = jax.block_until_ready(one(jnp.asarray(sample, jnp.uint32),
+                                         i * bh, j * bw))
+        m_tot += float(m)
+        t_tot += float(t)
+    return {
+        "march_occupancy": round(m_tot / max(t_tot, 1.0), 4),
+        "occupancy_tiles": int(len(idxs)),
+        "occupancy_spp": n_samples,
+    }

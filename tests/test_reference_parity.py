@@ -24,14 +24,23 @@ needs_reference = pytest.mark.skipif(
     reason="reference mount not available")
 
 
+def _tool():
+    """Import the full-resolution tool so CI uses the SAME detector —
+    round 2's CI test and full-res artifact quietly disagreed because
+    each had its own mask."""
+    import importlib.util
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "tools",
+                        "reference_parity.py")
+    spec = importlib.util.spec_from_file_location("_refparity", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def _centroid(u8, chan):
-    f = u8.astype(np.float32)
-    o1, o2 = [c for c in range(3) if c != chan]
-    m = (f[..., chan] > 96) & (f[..., chan] > 1.6 * f[..., o1]) \
-        & (f[..., chan] > 1.6 * f[..., o2])
-    ys, xs = np.nonzero(m)
-    assert len(xs) > 0, f"channel-{chan} object not found"
-    return float(xs.mean()), float(ys.mean())
+    c = _tool().channel_centroid(u8, chan)
+    assert c is not None, f"channel-{chan} object not found"
+    return c
 
 
 @pytest.fixture(scope="module")
@@ -82,12 +91,22 @@ class TestReferenceParity:
     def test_green_panel_projection_matches_golden(self, rendered_pair):
         """matID-4 glass panel at (-4,1,0): independent second object on
         the far left of frame -- pins handedness on its own (a mirrored
-        camera puts it at x~140, not x~17)."""
-        ref, ours, _ = rendered_pair
+        camera puts it at x~140, not x~17).  The body-centroid budget is
+        the documented 2015-camera-model delta
+        (docs/reference_parity.md), scaled to 1/8 resolution; the bbox
+        containment is the regression gate that the round-2 failure
+        shape (detector wandering to floor glow) fails."""
+        ref, ours, f = rendered_pair
+        tool = _tool()
         cr = _centroid(ref, 1)
         co = _centroid(ours, 1)
         assert co[0] < 40.0  # left third of frame
-        assert np.hypot(cr[0] - co[0], cr[1] - co[1]) < 6.0, (cr, co)
+        box = tool.channel_bbox(ref, 1)
+        pad_x = 0.15 * (box[2] - box[0]) + 2
+        pad_y = 0.15 * (box[3] - box[1]) + 2
+        assert box[0] - pad_x <= co[0] <= box[2] + pad_x, (box, co)
+        assert box[1] - pad_y <= co[1] <= box[3] + pad_y, (box, co)
+        assert np.hypot(cr[0] - co[0], cr[1] - co[1]) < 150.0 / f, (cr, co)
 
     def test_floor_occupies_lower_frame(self, rendered_pair):
         """Orientation (no vertical flip): in OUR render the near floor
