@@ -239,3 +239,29 @@ class TestMegaNEE:
             for g, u in ((0.0, 1), (1.0, 4), (32.0, 8))]
         for o in outs[1:]:
             np.testing.assert_array_equal(outs[0], o)
+
+
+def test_mega_dispersion_with_nee_matches_oracle():
+    """separateChannels × direct-light compose in the megakernel: the
+    lane's path counter enumerates (sample, channel) and each hit detours
+    through the in-loop shadow chain — same keying as the oracle tracing
+    three one-hot channels with NEE (tolerance per TestMegaNEE)."""
+    from raymarchrenderer_tpu.render.integrator import render_sample
+    from raymarchrenderer_tpu.scene.builtin import csg_demo
+    scene = csg_demo()
+    params = scene.init_params()
+    cfg = CFG.replace(separate_channels=True, max_bounces=4)
+    corners = Camera(aspect=1.0).corner_rays_flat()
+    px, py = pixel_grid(cfg.width, cfg.height)
+    ch = Vec3.full((cfg.height, cfg.width), 1.0, 1.0, 1.0)
+    o = np.asarray(render_sample(scene, params, cfg, corners, jnp.uint32(3),
+                                 direct_light=True).stack(-1))
+    m = np.asarray(jax.jit(lambda p: mega.trace_mega_paths(
+        scene, p, cfg, corners, px, py, jnp.uint32(3), ch, n_samples=1,
+        dispersion=True, direct_light=True).stack(-1))(params))
+    d = np.abs(o - m)
+    # a handful of grazing shadow lanes may flip lit/occluded between the
+    # two compilations (see TestMegaNEE docstring) — bound the count and
+    # the worst single-lane deviation, not per-pixel equality
+    assert float((d > 1e-3).mean()) < 1e-3, (d.max(), (d > 1e-3).mean())
+    assert float(d.max()) < 0.1, float(d.max())
