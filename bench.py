@@ -112,7 +112,7 @@ def main():
         step = jax.jit(lambda p, c, s: render_fused(
             scene, p, cfg, c, s, n_samples=spp, direct_light=use_nee))
         impl = ("pallas-mega-nee" if use_nee
-                else "pallas-env-wavefront" if use_env
+                else "pallas-env-mega-deferred" if use_env
                 else "pallas-mega-dispersion" if dispersion
                 else "pallas-mega")
     else:

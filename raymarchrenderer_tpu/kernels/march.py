@@ -107,6 +107,37 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
         s0 = scalar_ref[0, 0].astype(jnp.uint32)
 
         inv = 1.0 / float(n_samples) if normalize else 1.0
+        if mode == "mega" and defer_sky:
+            # megakernel + deferred sky: misses park as _WAIT_MISS and the
+            # regen pass banks each path's (throughput, direction) miss
+            # event into its slot; the XLA composite outside does the
+            # equirect gather.  `n_samples` here is K_BANK in PATH units
+            # (always a whole number of samples — host chunking enforces
+            # it), trace_mega_paths wants sample units.
+            unit = 3 if cfg.separate_channels else 1
+            n_samp = n_samples // unit
+            s0_samp = s0 // jnp.uint32(3) if cfg.separate_channels else s0
+            c, rec = trace_mega_paths(scene, params, cfg, corners, px, py,
+                                      s0_samp, channels, n_samples=n_samp,
+                                      shade_gate=shade_gate,
+                                      march_unroll=march_unroll,
+                                      dispersion=cfg.separate_channels,
+                                      direct_light=direct_light,
+                                      defer_sky=True)
+            # RAW per-pixel sums like the wavefront defer branch — the
+            # host divides ONCE after compositing all chunks
+            out_r[:] = c.x
+            out_g[:] = c.y
+            out_b[:] = c.z
+            np_ = n_samples  # path count == bank depth
+            for k in range(np_):
+                mt_r[k] = rec[0 * np_ + k]
+                mt_g[k] = rec[1 * np_ + k]
+                mt_b[k] = rec[2 * np_ + k]
+                md_x[k] = rec[3 * np_ + k]
+                md_y[k] = rec[4 * np_ + k]
+                md_z[k] = rec[5 * np_ + k]
+            return
         if mode == "mega":
             # single trace with in-loop sample regeneration: straggler
             # cost amortizes over all n_samples (render.mega); dispersion
@@ -236,15 +267,11 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
     "fake backend" of SURVEY.md §4 item 2)."""
     defer_sky = scene.has_env_map
     if mode == "auto":
-        # megakernel is the fast path — including NEE (shadow marches run
-        # as extra segments of the same in-kernel loop); env-map miss
-        # events are per-sample banks, so those stay on the wavefront
-        mode = "wavefront" if defer_sky else "mega"
-    if defer_sky and mode == "mega":
-        raise NotImplementedError(
-            "env-map scenes use the wavefront mode (the megakernel banks "
-            "finished samples in-loop, so per-sample miss events cannot be "
-            "deferred to the out-of-kernel sky gather)")
+        # megakernel everywhere: NEE shadow marches run as extra segments
+        # of the same in-kernel loop, and env-map miss events bank into
+        # per-path slots at the regen pass (defer_sky) for the
+        # out-of-kernel equirect composite
+        mode = "mega"
     if interpret:
         # unroll is a pure scheduling knob (bitwise invariant); the Pallas
         # interpreter just pays its trace blow-up, so keep tests fast
@@ -284,7 +311,19 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
     # in HBM (K=8 at 1024x1024 = 192 MB transient).  With dispersion each
     # sample is 3 (sample, channel) paths, each with its own bank slot.
     n_paths = n_samples * (3 if cfg.separate_channels else 1)
-    K_BANK = min(8, n_paths) if defer_sky else n_samples
+    if defer_sky and mode == "mega":
+        # the megakernel's banks live as loop carries, so every chunk must
+        # be a WHOLE number of samples (no n_valid tail masking): pick the
+        # largest per-launch sample count <= 8 paths that divides spp
+        unit = 3 if cfg.separate_channels else 1
+        per = max(1, 32 // unit)
+        while n_samples % per:
+            per -= 1
+        K_BANK = per * unit
+    elif defer_sky:
+        K_BANK = min(8, n_paths)
+    else:
+        K_BANK = n_samples
 
     kernel = _tile_kernel(scene, cfg, treedef, leaf_shapes, K_BANK,
                           direct_light, bh, bw, mode, shade_gate,

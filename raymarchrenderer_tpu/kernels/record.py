@@ -81,8 +81,16 @@ def trace_record_fused(scene: Scene, params, cfg: RenderConfig, eye: Vec3,
         raise NotImplementedError(
             "recorded differentiable forward assumes RGB transport "
             "(channels == 1); dispersion trains on the per-bounce path")
+    if scene.has_env_map:
+        raise NotImplementedError(
+            "env-map scenes train on the per-bounce fused path (the "
+            "equirect sky gather must stay in XLA; render_patch/_spp "
+            "downgrade march_impl='recorded' to 'fused' automatically)")
     if mode == "auto":
         mode = "mega" if corners is not None else "wavefront"
+    if mode == "mega" and corners is None:
+        raise ValueError("mode='mega' needs the camera `corners` (the "
+                         "megakernel regenerates primary rays in-kernel)")
     params = lax.stop_gradient(params)
     if mode == "mega":
         return _record_mega(scene, params, cfg, corners, px, py, sample,

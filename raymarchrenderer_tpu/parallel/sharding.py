@@ -149,9 +149,13 @@ def render_sharded_spectral(scene: Scene, params, mats, cfg: RenderConfig,
     `RayMarch3.glsl`) over the ('tile', 'spp') mesh: each chip runs the
     spectral megakernel on its pixel-row block × sample slice
     (`render_fused_spectral(origin_xy=..., normalize=False)`), then one
-    psum over 'spp' and one division merge exactly like `render_sharded`
-    — bitwise-equal to the unsharded kernel for any mesh shape (RNG on
-    absolute (pixel, sample) coords)."""
+    psum over 'spp' and one division merge like `render_sharded`.
+
+    The sample SET is identical for any mesh shape (RNG on absolute
+    (pixel, sample) coords), but unlike the RGB path the per-lane sample
+    SUM splits at chip boundaries, so float32 re-association of the
+    partial sums is possible in principle — the parity test asserts
+    allclose (measured exact on its workload), not array equality."""
     fn = _render_sharded_spectral_fn(scene, cfg, mesh, spp, interpret)
     return fn(params, mats, corners)
 

@@ -492,6 +492,11 @@ def render_patch(scene: Scene, params, cfg: RenderConfig, corners,
                jnp.broadcast_to(e.y, (ph, pw)),
                jnp.broadcast_to(e.z, (ph, pw)))
     recorded = None
+    if march_impl == "recorded" and scene.has_env_map:
+        # env scenes keep the per-bounce fused path: the equirect gather
+        # must stay in XLA (VPU-hostile + the env image would ship into
+        # VMEM per program); the recording kernel records marches only
+        march_impl = "fused"
     if march_impl == "recorded":
         from raymarchrenderer_tpu.kernels.record import trace_record_fused
         recorded = trace_record_fused(scene, params, cfg, eye, d, px, py,
@@ -559,6 +564,8 @@ def render_patch_spp(scene: Scene, params, cfg: RenderConfig, corners,
                     v.z.reshape(S, ph, pw).sum(0))
 
     recorded = None
+    if march_impl == "recorded" and scene.has_env_map:
+        march_impl = "fused"  # see render_patch: the sky gather stays in XLA
     if march_impl == "recorded":
         # ONE Pallas launch runs the entire multi-bounce (and shadow)
         # march for the whole sample-folded plane; the trace below is a

@@ -125,7 +125,8 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
                      march_unroll: int = 1,
                      dispersion: bool = False,
                      direct_light: bool = False,
-                     record_banks: bool = False):
+                     record_banks: bool = False,
+                     defer_sky: bool = False):
     """Sum of `n_samples` samples per pixel (regenerated in-loop), equal to
     Σ_s trace_rgb(sample0+s) to float32 rounding.  Forward only —
     `lax.while_loop` has no transpose; use `trace_rgb(differentiable=True)`
@@ -180,6 +181,8 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         raise ValueError("record_banks wants one path per lane "
                          "(n_samples=1, no dispersion) — the train path's "
                          "sample-folded plane layout")
+    if record_banks and defer_sky:
+        raise ValueError("record_banks and defer_sky are exclusive modes")
     B = cfg.max_bounces
     L = scene.n_lights if nee else 0
 
@@ -220,20 +223,27 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         # or on step-budget exhaustion (march loop falling off the end).
         is_miss = seg & ~fail & ~is_hit & (
             (st.t >= tmax) | (steps >= cfg.max_steps))
-        sky = scene.sky(params, st.d)
+        # defer_sky: the sky is an out-of-kernel equirect composite —
+        # never trace the gather here; misses park as _WAIT_MISS and the
+        # regen pass banks their (throughput, direction) event instead
+        miss_state = _WAIT_MISS if defer_sky else _REGEN
+        if not defer_sky:
+            sky = scene.sky(params, st.d)
         if nee:
             bounce_miss = is_miss & ~shadow
-            thr = vselect(bounce_miss, st.thr * sky, st.thr)
+            thr = (st.thr if defer_sky
+                   else vselect(bounce_miss, st.thr * sky, st.thr))
             # shadow outcomes park for the resolve pass; budget exhaustion
             # counts as LIT (the oracle march returns t == t_max there)
             state = jnp.where(
                 is_hit, jnp.where(shadow, _SH_OCC, _WAIT),
-                jnp.where(is_miss, jnp.where(shadow, _SH_LIT, _REGEN),
+                jnp.where(is_miss, jnp.where(shadow, _SH_LIT, miss_state),
                           st.state))
         else:
-            thr = vselect(is_miss, st.thr * sky, st.thr)
+            thr = (st.thr if defer_sky
+                   else vselect(is_miss, st.thr * sky, st.thr))
             state = jnp.where(is_hit, _WAIT,
-                              jnp.where(is_miss, _REGEN, st.state))
+                              jnp.where(is_miss, miss_state, st.state))
         still = seg & ~is_hit & ~is_miss
         if relax:
             new_len = jnp.where(fail, st.step_len * (1.0 - st.omega),
@@ -400,6 +410,25 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
     def regen(st: _MegaState) -> _MegaState:
         """Bank finished paths and respawn the lane on its next sample."""
         pending = st.state == _REGEN
+        if defer_sky:
+            # parked misses: bank the (throughput, direction) event at the
+            # lane's path slot — the out-of-kernel composite adds
+            # thr·sky(dir) — then respawn WITHOUT banking radiance (the
+            # sky part is the composite's, other termination causes bank
+            # via `pending` as usual).  The select chain runs once per
+            # pass, not per march step.
+            miss_pending = st.state == _WAIT_MISS
+            rec = list(st.rec)
+            for k in range(n_paths):
+                sel = miss_pending & (st.s_idx == k)
+                for j, v in enumerate((st.thr.x, st.thr.y, st.thr.z,
+                                       st.d.x, st.d.y, st.d.z)):
+                    rec[j * n_paths + k] = jnp.where(
+                        sel, v, rec[j * n_paths + k])
+            st = st._replace(rec=tuple(rec))
+            pending_any = pending | miss_pending
+        else:
+            pending_any = pending
         if nee:
             val = st.thr + st.extra  # oracle: out.color + out.extra
         else:
@@ -407,27 +436,34 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         acc = Vec3(st.acc.x + jnp.where(pending, val.x, 0.0),
                    st.acc.y + jnp.where(pending, val.y, 0.0),
                    st.acc.z + jnp.where(pending, val.z, 0.0))
-        s_idx = jnp.where(pending, st.s_idx + 1, st.s_idx)
+        if defer_sky and nee:
+            # missed paths bank their accumulated NEE radiance here; only
+            # the thr·sky term is the composite's (the oracle's defer_sky
+            # trace returns color=0 + extra for misses)
+            acc = Vec3(acc.x + jnp.where(miss_pending, st.extra.x, 0.0),
+                       acc.y + jnp.where(miss_pending, st.extra.y, 0.0),
+                       acc.z + jnp.where(miss_pending, st.extra.z, 0.0))
+        s_idx = jnp.where(pending_any, st.s_idx + 1, st.s_idx)
         exhausted = s_idx >= n_paths
-        state = jnp.where(pending,
+        state = jnp.where(pending_any,
                           jnp.where(exhausted, _EXH, _MARCH), st.state)
         d_new = primary(s_idx)
-        o = vselect(pending, eye, st.o)
-        d = vselect(pending, d_new, st.d)
-        thr = vselect(pending, lane_channels(s_idx), st.thr)
-        t = jnp.where(pending, 0.0, st.t)
-        steps = jnp.where(pending, 0, st.steps)
-        bounce = jnp.where(pending, 0, st.bounce)
-        inside = jnp.where(pending, 0.0, st.inside)
+        o = vselect(pending_any, eye, st.o)
+        d = vselect(pending_any, d_new, st.d)
+        thr = vselect(pending_any, lane_channels(s_idx), st.thr)
+        t = jnp.where(pending_any, 0.0, st.t)
+        steps = jnp.where(pending_any, 0, st.steps)
+        bounce = jnp.where(pending_any, 0, st.bounce)
+        inside = jnp.where(pending_any, 0.0, st.inside)
         out = st._replace(o=o, d=d, t=t, thr=thr, acc=acc, inside=inside,
                           bounce=bounce, s_idx=s_idx, state=state,
                           steps=steps)
         if nee:
             out = out._replace(
-                extra=Vec3(jnp.where(pending, 0.0, st.extra.x),
-                           jnp.where(pending, 0.0, st.extra.y),
-                           jnp.where(pending, 0.0, st.extra.z)))
-        return _reset_relax(out, pending) if relax else out
+                extra=Vec3(jnp.where(pending_any, 0.0, st.extra.x),
+                           jnp.where(pending_any, 0.0, st.extra.y),
+                           jnp.where(pending_any, 0.0, st.extra.z)))
+        return _reset_relax(out, pending_any) if relax else out
 
     def _reset_relax(st: _MegaState, mask) -> _MegaState:
         return st._replace(
@@ -453,6 +489,7 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         n_march = jnp.sum(((st.state == _MARCH)
                            | (st.state == _SHADOW)).astype(jnp.int32))
         n_park = jnp.sum(((st.state == _WAIT) | (st.state == _REGEN)
+                          | (st.state == _WAIT_MISS)
                           | (st.state == _SH_LIT)
                           | (st.state == _SH_OCC)).astype(jnp.int32))
         # Batch the expensive pass over many parked lanes, but never let the
@@ -490,11 +527,17 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
             + tuple(jnp.zeros(shape, jnp.int32) for _ in range(B))
             + tuple(jnp.full(shape, 3.4e38, jnp.float32)
                     for _ in range(B * L))))
+    if defer_sky:
+        # (thr.xyz, dir.xyz) miss-event banks, one slot per path; thr=0
+        # marks a dead slot (paths that ended on a hit/emitter instead)
+        init = init._replace(
+            rec=tuple(jnp.zeros(shape, jnp.float32)
+                      for _ in range(6 * n_paths)))
     # Peel one march step so the while_loop carries enter with concrete
     # (non-splat) Mosaic layouts — same reason trace_rgb peels bounce 0.
     st0 = march_step(init)
     out = lax.while_loop(cond, body, st0)
-    if record_banks:
+    if record_banks or defer_sky:
         return out.acc, out.rec
     return out.acc
 

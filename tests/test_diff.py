@@ -444,3 +444,54 @@ class TestRecordedDifferentiable:
         for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=5e-7)
+
+
+def test_recorder_wavefront_banks_match_mega():
+    """The bounce-synchronous wavefront recorder (the fallback branch of
+    `trace_record_fused`) and the megakernel-schedule recorder must bank
+    the SAME residual planes — they restate the same trace.  This also
+    keeps the otherwise-unreached wavefront branch under test."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raymarchrenderer_tpu.core.rng import RNGStream
+    from raymarchrenderer_tpu.core.vecmath import Vec3
+    from raymarchrenderer_tpu.kernels.record import trace_record_fused
+    from raymarchrenderer_tpu.render.raygen import (eye_vec, pixel_grid,
+                                                    primary_rays)
+    from raymarchrenderer_tpu.scene.builtin import csg_demo
+    scene = csg_demo()
+    params = scene.init_params()
+    cfg = RenderConfig(width=64, height=32, max_steps=96, max_bounces=3,
+                       max_dist=100.0)
+    corners = Camera(aspect=2.0).corner_rays_flat()
+    px, py = pixel_grid(cfg.width, cfg.height)
+    rng = RNGStream(cfg.seed, px, py, jnp.uint32(0), jnp.uint32(1 << 20))
+    d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
+    e = eye_vec(corners)
+    shape = (cfg.height, cfg.width)
+    eye = Vec3(jnp.broadcast_to(e.x, shape), jnp.broadcast_to(e.y, shape),
+               jnp.broadcast_to(e.z, shape))
+    a = trace_record_fused(scene, params, cfg, eye, d, px, py,
+                           jnp.uint32(0), direct_light=True,
+                           interpret=True, mode="wavefront")
+    b = trace_record_fused(scene, params, cfg, eye, d, px, py,
+                           jnp.uint32(0), direct_light=True,
+                           interpret=True, corners=corners, mode="mega")
+    assert set(a) == set(b) == {"t", "mid", "hit", "sd"}
+    # bounce 0 shares the identical primary rays → bitwise; later bounces'
+    # ray origins come from the two recorders' (differently-compiled)
+    # shade chains, and an ulp origin shift moves the hit to the
+    # neighbouring march step (≤ ~1e-3·ω in t) on a small fraction of
+    # lanes — tolerance there
+    for k in ("t", "mid", "hit"):
+        np.testing.assert_array_equal(np.asarray(a[k][0]),
+                                      np.asarray(b[k][0]), err_msg=k)
+    dt = np.abs(np.asarray(a["t"]) - np.asarray(b["t"]))
+    assert float(dt.max()) < 5e-3, float(dt.max())
+    for k in ("mid", "hit"):
+        frac = (np.asarray(a[k]) != np.asarray(b[k])).mean()
+        assert frac < 5e-3, (k, frac)
+    sd_frac = (np.asarray(a["sd"]) != np.asarray(b["sd"])).mean()
+    assert sd_frac < 5e-3, sd_frac

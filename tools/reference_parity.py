@@ -78,6 +78,55 @@ def ssim(a, b):
                  / ((ma ** 2 + mb ** 2 + c1) * (va + vb + c2)))
 
 
+def _label_components(mask):
+    """8-connected component labels — scipy.ndimage when present, else a
+    pure-numpy flood fill (the parity gate must not grow silent hard
+    deps; scipy is declared in the [test] extra but absent from minimal
+    installs)."""
+    try:
+        from scipy import ndimage
+        lab, n = ndimage.label(mask, structure=np.ones((3, 3), int))
+        return lab, n
+    except ImportError:
+        lab = np.zeros(mask.shape, np.int32)
+        n = 0
+        todo = np.argwhere(mask)
+        seen = np.zeros(mask.shape, bool)
+        for y0, x0 in todo:
+            if seen[y0, x0]:
+                continue
+            n += 1
+            stack = [(y0, x0)]
+            seen[y0, x0] = True
+            while stack:
+                y, x = stack.pop()
+                lab[y, x] = n
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        yy, xx = y + dy, x + dx
+                        if (0 <= yy < mask.shape[0]
+                                and 0 <= xx < mask.shape[1]
+                                and mask[yy, xx] and not seen[yy, xx]):
+                            seen[yy, xx] = True
+                            stack.append((yy, xx))
+        return lab, n
+
+
+def _largest_component_mask(u8, chan):
+    """The ONE detector both the centroid and its bbox gate share:
+    ratio-dominance mask at a low brightness floor, largest 8-connected
+    component (see channel_centroid's docstring for why)."""
+    f = u8.astype(np.float32)
+    o1, o2 = [c for c in range(3) if c != chan]
+    mask = (f[..., chan] > 20) & (f[..., chan] > 1.3 * f[..., o1]) \
+        & (f[..., chan] > 1.3 * f[..., o2])
+    if not mask.any():
+        return None
+    lab, n = _label_components(mask)
+    sizes = np.bincount(lab.ravel(), minlength=n + 1)[1:]
+    return lab == (1 + int(np.argmax(sizes)))
+
+
 def channel_centroid(u8, chan):
     """Centroid of the LARGEST CONNECTED region dominated by one channel.
     chan 0 finds the matID-2 red sphere, chan 1 the matID-4 green glass
@@ -93,16 +142,9 @@ def channel_centroid(u8, chan):
     silhouettes overlapped.  The fixed detector is brightness-robust
     (ratio dominance at a low floor) and takes the largest 8-connected
     component — the object body, not scattered glow."""
-    from scipy import ndimage
-    f = u8.astype(np.float32)
-    o1, o2 = [c for c in range(3) if c != chan]
-    mask = (f[..., chan] > 20) & (f[..., chan] > 1.3 * f[..., o1]) \
-        & (f[..., chan] > 1.3 * f[..., o2])
-    if not mask.any():
+    big = _largest_component_mask(u8, chan)
+    if big is None:
         return None
-    lab, n = ndimage.label(mask, structure=np.ones((3, 3), int))
-    sizes = ndimage.sum(mask, lab, index=np.arange(1, n + 1))
-    big = lab == (1 + int(np.argmax(sizes)))
     ys, xs = np.nonzero(big)
     return float(xs.mean()), float(ys.mean())
 
@@ -110,16 +152,9 @@ def channel_centroid(u8, chan):
 def channel_bbox(u8, chan):
     """(x0, y0, x1, y1) bounding box of the same largest component
     `channel_centroid` selects."""
-    from scipy import ndimage
-    f = u8.astype(np.float32)
-    o1, o2 = [c for c in range(3) if c != chan]
-    mask = (f[..., chan] > 20) & (f[..., chan] > 1.3 * f[..., o1]) \
-        & (f[..., chan] > 1.3 * f[..., o2])
-    if not mask.any():
+    big = _largest_component_mask(u8, chan)
+    if big is None:
         return None
-    lab, n = ndimage.label(mask, structure=np.ones((3, 3), int))
-    sizes = ndimage.sum(mask, lab, index=np.arange(1, n + 1))
-    big = lab == (1 + int(np.argmax(sizes)))
     ys, xs = np.nonzero(big)
     return float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())
 

@@ -40,6 +40,8 @@ if __name__ == "__main__":
     run_bench(BENCH_MODE="rgb", BENCH_PROFILE="0")
     log("=== dispersion mega ===")
     run_bench(BENCH_MODE="rgb", BENCH_DISPERSION="1", BENCH_PROFILE="0")
+    log("=== NEE mega (shadow marches as in-loop segments) ===")
+    run_bench(BENCH_MODE="rgb", BENCH_DIRECT="1", BENCH_PROFILE="0")
     log("=== env wavefront (K-banked deferred sky) ===")
     run_bench(BENCH_MODE="rgb", BENCH_ENV="1", BENCH_PROFILE="0")
     log("=== train, no remat ===")
