@@ -87,7 +87,11 @@ def main():
         m_ball = b.diffuse([0.2, 0.8, 0.3])
         b.box(m_floor, [0, -0.025, 0], [32, 0.05, 32])
         b.sphere(m_ball, [0, 1, 0], 1.0)
-        scene = b.build(env_image=env_img)
+        # BENCH_ENV_FILTER=nearest: 1-tap GL_NEAREST lookups (the gather
+        # is the env path's measured wall; see docs/performance.md)
+        scene = b.build(env_image=env_img,
+                        env_filter=os.environ.get("BENCH_ENV_FILTER",
+                                                  "linear"))
     else:
         scene = sphere_on_floor()
     params = scene.init_params()

@@ -194,3 +194,27 @@ def make_onb(n: Vec3) -> tuple[Vec3, Vec3, Vec3]:
     x = vselect(degenerate, c2, c1).normalized()
     y = n.cross(x).normalized()
     return x, y, n
+
+
+def atan2_poly(y, x):
+    """Polynomial atan2 (max error ~1e-6 rad) from VPU-basic ops only —
+    Mosaic has no atan2 lowering, and the megakernel's deferred-sky bank
+    packs the miss direction as equirect (u, v) IN-kernel (Rajan et al.
+    odd-polynomial minimax on [0,1] + quadrant folding).  1e-6 rad is
+    ~2e-4 texels of a 1024-wide env map — far below the 16-bit bank
+    quantization it feeds."""
+    pi = jnp.float32(3.14159265358979)
+    half_pi = jnp.float32(1.5707963267949)
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    r = lo / jnp.maximum(hi, jnp.float32(1e-30))
+    s = r * r
+    # odd minimax coefficients for atan(r), r in [0, 1]
+    a = (((((jnp.float32(-0.0117212) * s + jnp.float32(0.05265332)) * s
+            - jnp.float32(0.11643287)) * s + jnp.float32(0.19354346)) * s
+          - jnp.float32(0.33262347)) * s + jnp.float32(0.99997726)) * r
+    a = jnp.where(ay > ax, half_pi - a, a)
+    a = jnp.where(x < 0, pi - a, a)
+    return jnp.where(y < 0, -a, a)

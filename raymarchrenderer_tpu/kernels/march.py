@@ -74,7 +74,11 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
     def kernel(corners_ref, scalar_ref, *refs):
         n_shipped = sum(1 for _, size in leaf_shapes if size)
         param_refs = refs[:n_shipped]
-        if defer_sky:
+        if defer_sky and mode == "mega":
+            # banks: throughput (3 f32) + packed (u, v) (1 i32) per slot
+            (out_r, out_g, out_b, mt_r, mt_g, mt_b,
+             uv_ref) = refs[n_shipped:]
+        elif defer_sky:
             (out_r, out_g, out_b, mt_r, mt_g, mt_b,
              md_x, md_y, md_z) = refs[n_shipped:]  # banks: (K, bh, bw)
         else:
@@ -109,11 +113,16 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
         inv = 1.0 / float(n_samples) if normalize else 1.0
         if mode == "mega" and defer_sky:
             # megakernel + deferred sky: misses park as _WAIT_MISS and the
-            # regen pass banks each path's (throughput, direction) miss
-            # event into its slot; the XLA composite outside does the
-            # equirect gather.  `n_samples` here is K_BANK in PATH units
-            # (always a whole number of samples — host chunking enforces
-            # it), trace_mega_paths wants sample units.
+            # regen pass banks each path's (throughput, packed-uv) miss
+            # event into its slot (K-deep loop carries); the XLA composite
+            # outside does the equirect gather.  `n_samples` here is
+            # K_BANK in PATH units (host chunking enforces whole samples),
+            # trace_mega_paths wants sample units.  Schedule note: a
+            # sample-synchronous variant (1-deep banks stored per sample)
+            # was measured SLOWER (18.8 vs 24.7 Mpix·spp/s) — losing the
+            # cross-sample regeneration costs more than the K-deep bank
+            # carries; either way the env path's wall is the composite's
+            # gather (docs/performance.md).
             unit = 3 if cfg.separate_channels else 1
             n_samp = n_samples // unit
             s0_samp = s0 // jnp.uint32(3) if cfg.separate_channels else s0
@@ -134,9 +143,7 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
                 mt_r[k] = rec[0 * np_ + k]
                 mt_g[k] = rec[1 * np_ + k]
                 mt_b[k] = rec[2 * np_ + k]
-                md_x[k] = rec[3 * np_ + k]
-                md_y[k] = rec[4 * np_ + k]
-                md_z[k] = rec[5 * np_ + k]
+                uv_ref[k] = rec[3 * np_ + k]
             return
         if mode == "mega":
             # single trace with in-loop sample regeneration: straggler
@@ -336,7 +343,11 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
                              memory_space=pltpu.VMEM)
     plane = jax.ShapeDtypeStruct((php, pwp), jnp.float32)
     bank = jax.ShapeDtypeStruct((K_BANK, php, pwp), jnp.float32)
-    if defer_sky:
+    ibank = jax.ShapeDtypeStruct((K_BANK, php, pwp), jnp.int32)
+    if defer_sky and mode == "mega":
+        out_specs = (out_spec,) * 3 + (bank_spec,) * 4
+        out_shapes = (plane,) * 3 + (bank,) * 3 + (ibank,)
+    elif defer_sky:
         out_specs = (out_spec,) * 3 + (bank_spec,) * 6
         out_shapes = (plane,) * 3 + (bank,) * 6
     else:
@@ -366,14 +377,26 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
 
     def one_chunk(sample, n_valid):
         """One K_BANK-deep launch + the XLA sky composite: the banked miss
-        throughputs scatter the (bilinear, `Scene.sky`) equirect lookups
-        back onto the hit accumulation.  Dead slots carry thr=0."""
-        r, g, b, tr, tg, tb, dx, dy, dz = launch(sample, n_valid)
-        # crop padding BEFORE the gather — no sky lookups for dead lanes
-        r, g, b = r[:ph, :pw], g[:ph, :pw], b[:ph, :pw]
-        tr, tg, tb = tr[:, :ph, :pw], tg[:, :ph, :pw], tb[:, :ph, :pw]
-        dx, dy, dz = dx[:, :ph, :pw], dy[:, :ph, :pw], dz[:, :ph, :pw]
-        sky = scene.sky(params, Vec3(dx, dy, dz))     # (K, ph, pw)
+        throughputs scatter the (bilinear) equirect lookups back onto the
+        hit accumulation.  Dead slots carry thr=0.  The mega kernel banks
+        packed (u, v) (16+16 bits, computed in-kernel); the wavefront
+        banks raw directions and the composite derives (u, v) itself."""
+        if mode == "mega":
+            r, g, b, tr, tg, tb, uvp = launch(sample, n_valid)
+            r, g, b = r[:ph, :pw], g[:ph, :pw], b[:ph, :pw]
+            tr, tg, tb = tr[:, :ph, :pw], tg[:, :ph, :pw], tb[:, :ph, :pw]
+            uvp = uvp[:, :ph, :pw]
+            # +0.5: reconstruct at the quantization-bin center
+            u = (((uvp >> 16) & 0xffff).astype(jnp.float32) + 0.5) / 65536.0
+            v = ((uvp & 0xffff).astype(jnp.float32) + 0.5) / 65536.0
+            sky = scene.sky_uv(params, u, v)          # (K, ph, pw)
+        else:
+            r, g, b, tr, tg, tb, dx, dy, dz = launch(sample, n_valid)
+            # crop padding BEFORE the gather — no sky lookups for dead lanes
+            r, g, b = r[:ph, :pw], g[:ph, :pw], b[:ph, :pw]
+            tr, tg, tb = tr[:, :ph, :pw], tg[:, :ph, :pw], tb[:, :ph, :pw]
+            dx, dy, dz = dx[:, :ph, :pw], dy[:, :ph, :pw], dz[:, :ph, :pw]
+            sky = scene.sky(params, Vec3(dx, dy, dz))     # (K, ph, pw)
         return jnp.stack([r + (tr * sky.x).sum(0),
                           g + (tg * sky.y).sum(0),
                           b + (tb * sky.z).sum(0)], axis=-1)

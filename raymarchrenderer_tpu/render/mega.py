@@ -411,20 +411,35 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         """Bank finished paths and respawn the lane on its next sample."""
         pending = st.state == _REGEN
         if defer_sky:
-            # parked misses: bank the (throughput, direction) event at the
-            # lane's path slot — the out-of-kernel composite adds
-            # thr·sky(dir) — then respawn WITHOUT banking radiance (the
-            # sky part is the composite's, other termination causes bank
-            # via `pending` as usual).  The select chain runs once per
-            # pass, not per march step.
+            # parked misses: bank the (throughput, packed equirect (u,v))
+            # event at the lane's path slot — the out-of-kernel composite
+            # adds thr·sky_uv(u, v) — then respawn WITHOUT banking
+            # radiance (the sky part is the composite's; other
+            # termination causes bank via `pending` as usual).  (u, v)
+            # packs as 16+16 bits of ONE int32 plane (direction would be
+            # three) — the banks' HBM traffic is the env path's measured
+            # ceiling, so every plane counts.  atan2 is polynomial
+            # (`vecmath.atan2_poly` — Mosaic has no atan2); the select
+            # chain and the transcendentals run once per pass, not per
+            # march step.
+            from raymarchrenderer_tpu.core.vecmath import atan2_poly
             miss_pending = st.state == _WAIT_MISS
+            two_pi = jnp.float32(6.283185307179586)
+            phi = atan2_poly(st.d.z, st.d.x)
+            phi = jnp.where(phi < 0, phi + two_pi, phi)
+            uu = phi / two_pi
+            vv = 1.0 - (st.d.y * 0.5 + 0.5)
+            ui = jnp.clip((uu * 65536.0).astype(jnp.int32), 0, 65535)
+            vi = jnp.clip((vv * 65536.0).astype(jnp.int32), 0, 65535)
+            uvpack = (ui << 16) | vi
             rec = list(st.rec)
             for k in range(n_paths):
                 sel = miss_pending & (st.s_idx == k)
-                for j, v in enumerate((st.thr.x, st.thr.y, st.thr.z,
-                                       st.d.x, st.d.y, st.d.z)):
+                for j, v in enumerate((st.thr.x, st.thr.y, st.thr.z)):
                     rec[j * n_paths + k] = jnp.where(
                         sel, v, rec[j * n_paths + k])
+                rec[3 * n_paths + k] = jnp.where(
+                    sel, uvpack, rec[3 * n_paths + k])
             st = st._replace(rec=tuple(rec))
             pending_any = pending | miss_pending
         else:
@@ -528,11 +543,13 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
             + tuple(jnp.full(shape, 3.4e38, jnp.float32)
                     for _ in range(B * L))))
     if defer_sky:
-        # (thr.xyz, dir.xyz) miss-event banks, one slot per path; thr=0
-        # marks a dead slot (paths that ended on a hit/emitter instead)
+        # (thr.xyz f32, packed-uv i32) miss-event banks, one slot per
+        # path; thr=0 marks a dead slot (path ended on a hit/emitter)
         init = init._replace(
-            rec=tuple(jnp.zeros(shape, jnp.float32)
-                      for _ in range(6 * n_paths)))
+            rec=(tuple(jnp.zeros(shape, jnp.float32)
+                       for _ in range(3 * n_paths))
+                 + tuple(jnp.zeros(shape, jnp.int32)
+                         for _ in range(n_paths))))
     # Peel one march step so the while_loop carries enter with concrete
     # (non-splat) Mosaic layouts — same reason trace_rgb peels bounce 0.
     st0 = march_step(init)

@@ -158,8 +158,9 @@ class SceneBuilder:
                            "lights": self._lights,
                            "environment": self._env})
 
-    def build(self, env_image=None) -> Scene:
-        return loads_scene(self.to_json(), env_image)
+    def build(self, env_image=None, env_filter: str = "linear") -> Scene:
+        return loads_scene(self.to_json(), env_image,
+                           env_filter=env_filter)
 
 
 # -----------------------------------------------------------------------------

@@ -163,6 +163,11 @@ class Scene:
     objects: Tuple[ObjectDef, ...]
     n_lights: int = 0
     has_env_map: bool = False
+    # env sampler filter: "linear" = GL_LINEAR parity (4 bilinear taps,
+    # the reference's sampler state); "nearest" = 1 tap — a measured ~4×
+    # cut of the env path's gather wall (docs/performance.md) at the cost
+    # of hard texel edges in the backdrop
+    env_filter: str = "linear"
     # SH environment sky (bands l<=3): params["env"]["sh"] is a (16, 3)
     # coefficient array — the TPU-first env representation (pure FMAs, no
     # gather; its adjoint is gather-free too, which is what makes sky
@@ -255,36 +260,12 @@ class Scene:
         periodic), vertical clamp (poles), texel centers at half-integer
         coordinates (GL_LINEAR footprint)."""
         if self.has_env_map:
-            img = params["env"]["image"]  # (H, W, 3) linear float32
-            h, w = img.shape[0], img.shape[1]
             two_pi = 2.0 * np.pi
             phi = jnp.arctan2(direction.z, direction.x)
             phi = jnp.where(phi < 0, phi + two_pi, phi)
             u = phi / two_pi
             v = 1.0 - (direction.y * 0.5 + 0.5)
-            # GL_LINEAR: sample point in texel units, centers at +0.5.
-            # Vertical clamp-to-edge: clamp the SAMPLE POINT so both taps
-            # of a pole-adjacent footprint collapse onto the edge row
-            # (v=0 must return pure top row, not a half-blend with row 1).
-            x = u * w - 0.5
-            y = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
-            x0f = jnp.floor(x)
-            y0f = jnp.floor(y)
-            fx = x - x0f
-            fy = y - y0f
-            x0 = jnp.mod(x0f.astype(jnp.int32), w)          # wrap in phi
-            x1 = jnp.mod(x0 + 1, w)
-            y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)  # clamp at poles
-            y1 = jnp.clip(y0 + 1, 0, h - 1)
-            t00 = img[y0, x0]
-            t10 = img[y0, x1]
-            t01 = img[y1, x0]
-            t11 = img[y1, x1]
-            fx = fx[..., None]
-            fy = fy[..., None]
-            texel = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
-                     + (t01 * (1 - fx) + t11 * fx) * fy)
-            return Vec3(texel[..., 0], texel[..., 1], texel[..., 2])
+            return self.sky_uv(params, u, v)
         if self.has_sh_env:
             from raymarchrenderer_tpu.core.sh import sh_eval
             return sh_eval(params["env"]["sh"], direction)
@@ -292,6 +273,42 @@ class Scene:
         shape = jnp.shape(direction.x)
         c = jnp.broadcast_to(power, shape)
         return Vec3(c, c, c)
+
+    def sky_uv(self, params: dict, u, v) -> Vec3:
+        """The equirect bilinear lookup from (u, v) directly — the
+        megakernel's deferred-sky banks store packed (u, v) (computed
+        in-kernel with `vecmath.atan2_poly`), so the XLA composite skips
+        the direction math.  Same GL_LINEAR footprint as `sky`."""
+        img = params["env"]["image"]  # (H, W, 3) linear float32
+        h, w = img.shape[0], img.shape[1]
+        if self.env_filter == "nearest":
+            x0 = jnp.mod(jnp.floor(u * w).astype(jnp.int32), w)
+            y0 = jnp.clip(jnp.floor(v * h).astype(jnp.int32), 0, h - 1)
+            texel = img[y0, x0]
+            return Vec3(texel[..., 0], texel[..., 1], texel[..., 2])
+        # GL_LINEAR: sample point in texel units, centers at +0.5.
+        # Vertical clamp-to-edge: clamp the SAMPLE POINT so both taps
+        # of a pole-adjacent footprint collapse onto the edge row
+        # (v=0 must return pure top row, not a half-blend with row 1).
+        x = u * w - 0.5
+        y = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
+        x0f = jnp.floor(x)
+        y0f = jnp.floor(y)
+        fx = x - x0f
+        fy = y - y0f
+        x0 = jnp.mod(x0f.astype(jnp.int32), w)          # wrap in phi
+        x1 = jnp.mod(x0 + 1, w)
+        y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)  # clamp at poles
+        y1 = jnp.clip(y0 + 1, 0, h - 1)
+        t00 = img[y0, x0]
+        t10 = img[y0, x1]
+        t01 = img[y1, x0]
+        t11 = img[y1, x1]
+        fx = fx[..., None]
+        fy = fy[..., None]
+        texel = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
+                 + (t01 * (1 - fx) + t11 * fx) * fy)
+        return Vec3(texel[..., 0], texel[..., 1], texel[..., 2])
 
     # -- lights (extension) --------------------------------------------------------
     def light(self, params: dict, i: int):
@@ -386,7 +403,8 @@ def _eval_object(obj: ObjectDef, params: Sequence, p: Vec3):
 # -----------------------------------------------------------------------------
 
 def loads_scene(text: str, env_image: Optional[np.ndarray] = None,
-                env_sh: Optional[np.ndarray] = None) -> Scene:
+                env_sh: Optional[np.ndarray] = None,
+                env_filter: str = "linear") -> Scene:
     """Parse a `.scene` JSON string (either format generation).
 
     `env_image`: (H, W, 3) equirect texture sky (`Graphics.cpp:287` slot).
@@ -444,10 +462,13 @@ def loads_scene(text: str, env_image: Optional[np.ndarray] = None,
             "lights": light_params, "env": env_params}
     return Scene(tuple(mats), tuple(objs), n_lights=len(lights),
                  has_env_map=has_env, has_sh_env=has_sh,
+                 env_filter=env_filter,
                  spectral_rows=spec_rows, _init=init)
 
 
 def load_scene(path: str, env_image: Optional[np.ndarray] = None,
-               env_sh: Optional[np.ndarray] = None) -> Scene:
+               env_sh: Optional[np.ndarray] = None,
+               env_filter: str = "linear") -> Scene:
     with open(path) as f:
-        return loads_scene(f.read(), env_image, env_sh=env_sh)
+        return loads_scene(f.read(), env_image, env_sh=env_sh,
+                           env_filter=env_filter)

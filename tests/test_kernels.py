@@ -122,6 +122,31 @@ class TestFusedParity:
                              n_samples=2, block=BLOCK, interpret=True)
         assert _frac_off(mean, fused) < 1e-3
 
+    def test_env_map_nearest_filter(self):
+        """env_filter="nearest" (1-tap GL_NEAREST, the gather-wall perf
+        knob) flows through both oracle and fused paths consistently."""
+        rng = np.random.RandomState(11)
+        img = rng.uniform(0.0, 2.0, (8, 16, 3)).astype(np.float32)
+        b = builtin.SceneBuilder()
+        m = b.diffuse([0.6, 0.5, 0.4])
+        b.sphere(m, [0.0, 1.0, 0.0], 1.0)
+        scene = b.build(env_image=img, env_filter="nearest")
+        params = scene.init_params()
+        oracle = render_sample(scene, params, CFG, _corners(),
+                               jnp.uint32(3)).stack(-1)
+        fused = render_fused(scene, params, CFG, _corners(), jnp.uint32(3),
+                             n_samples=1, block=BLOCK, interpret=True)
+        # nearest lookups are piecewise-constant in (u, v): the packed
+        # 16-bit uv bank quantization can flip a tap across a texel edge
+        # on a handful of rays — bound the count, not per-pixel equality
+        assert _frac_off(oracle, fused, tol=1e-3) < 5e-3
+        # and the filter actually differs from linear
+        lin = b.build(env_image=img, env_filter="linear")
+        lp = lin.init_params()
+        lin_img = render_sample(lin, lp, CFG, _corners(),
+                                jnp.uint32(3)).stack(-1)
+        assert not np.allclose(np.asarray(oracle), np.asarray(lin_img))
+
     def test_small_frame_clamps_block(self):
         # frames smaller than the block clamp the block to the frame
         scene = builtin.sphere_on_floor()
