@@ -480,14 +480,13 @@ def test_recorder_wavefront_banks_match_mega():
                            jnp.uint32(0), direct_light=True,
                            interpret=True, corners=corners, mode="mega")
     assert set(a) == set(b) == {"t", "mid", "hit", "sd"}
-    # bounce 0 shares the identical primary rays → bitwise; later bounces'
-    # ray origins come from the two recorders' (differently-compiled)
-    # shade chains, and an ulp origin shift moves the hit to the
-    # neighbouring march step (≤ ~1e-3·ω in t) on a small fraction of
-    # lanes — tolerance there
-    for k in ("t", "mid", "hit"):
-        np.testing.assert_array_equal(np.asarray(a[k][0]),
-                                      np.asarray(b[k][0]), err_msg=k)
+    # tolerance, not bitwise: the wavefront recorder marches the d0/eye
+    # planes the caller computed in XLA while the mega recorder
+    # REGENERATES primary rays in-kernel (same RNG keys, different
+    # compilation → 1-2 ulp direction differences even at bounce 0), and
+    # later bounces' origins come from the two recorders' shade chains —
+    # an ulp origin shift moves a hit to the neighbouring march step
+    # (≤ ~1e-3·ω in t) on a small fraction of lanes
     dt = np.abs(np.asarray(a["t"]) - np.asarray(b["t"]))
     assert float(dt.max()) < 5e-3, float(dt.max())
     for k in ("mid", "hit"):

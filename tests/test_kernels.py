@@ -122,6 +122,27 @@ class TestFusedParity:
                              n_samples=2, block=BLOCK, interpret=True)
         assert _frac_off(mean, fused) < 1e-3
 
+    def test_env_map_with_nee(self):
+        """env-map x direct-light on the fused megakernel: missed paths
+        bank their accumulated NEE radiance in-kernel and only the
+        thr*sky term defers to the composite (the oracle's defer_sky
+        trace returns color=0 + extra for misses)."""
+        rng = np.random.RandomState(13)
+        img = rng.uniform(0.0, 1.5, (8, 16, 3)).astype(np.float32)
+        b = builtin.SceneBuilder()
+        m = b.diffuse([0.6, 0.5, 0.4])
+        b.sphere(m, [0.0, 1.0, 0.0], 1.0)
+        b.box(m, [0.0, -0.05, 0.0], [8.0, 0.05, 8.0])
+        b.light([3, 6, -3], 40.0, 0.5)
+        scene = b.build(env_image=img)
+        params = scene.init_params()
+        oracle = render_sample(scene, params, CFG, _corners(), jnp.uint32(2),
+                               direct_light=True).stack(-1)
+        fused = render_fused(scene, params, CFG, _corners(), jnp.uint32(2),
+                             n_samples=1, direct_light=True, block=BLOCK,
+                             interpret=True)
+        assert _frac_off(oracle, fused, tol=5e-3) < 2e-3
+
     def test_env_map_nearest_filter(self):
         """env_filter="nearest" (1-tap GL_NEAREST, the gather-wall perf
         knob) flows through both oracle and fused paths consistently."""
