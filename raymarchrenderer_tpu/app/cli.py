@@ -341,6 +341,19 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    """Run the gated golden-image parity check (exit nonzero on gate
+    failure) — the committed-artifact workflow as a product verb."""
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import importlib.util
+    path = os.path.join(root, "tools", "reference_parity.py")
+    spec = importlib.util.spec_from_file_location("_refparity", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.main()
+
+
 def cmd_info(args) -> int:
     scene = _build_scene(args)
     import jax
@@ -475,6 +488,11 @@ def main(argv=None) -> int:
 
     pp = sub.add_parser("repl", help="reference-CLI-compatible REPL")
     pp.set_defaults(fn=cmd_repl)
+
+    pg = sub.add_parser(
+        "parity", help="gated parity check against the reference's 2015 "
+                       "golden BMPs (tools/reference_parity.py)")
+    pg.set_defaults(fn=cmd_parity)
 
     pv = sub.add_parser("viewer",
                         help="interactive browser viewer (the GUI frontend)")
