@@ -54,13 +54,14 @@ _PI = 3.14159265358979323846
 @functools.partial(
     jax.jit,
     static_argnames=("scene", "cfg", "direct_light", "block", "interpret",
-                     "mode"))
+                     "mode", "n_samples"))
 def trace_record_fused(scene: Scene, params, cfg: RenderConfig, eye: Vec3,
                        d0: Vec3, px, py, sample,
                        direct_light: bool = False,
                        block=(DEFAULT_BH, DEFAULT_BW),
                        interpret: bool = False,
-                       corners=None, mode: str = "auto"):
+                       corners=None, mode: str = "auto",
+                       n_samples: int = 1):
     """Run the full `trace_rgb` forward over arbitrary (H, W) ray planes in
     ONE Pallas launch and return the recorded march planes:
 
@@ -91,10 +92,13 @@ def trace_record_fused(scene: Scene, params, cfg: RenderConfig, eye: Vec3,
     if mode == "mega" and corners is None:
         raise ValueError("mode='mega' needs the camera `corners` (the "
                          "megakernel regenerates primary rays in-kernel)")
+    if n_samples > 1 and mode != "mega":
+        raise ValueError("multi-sample recording (per-lane in-loop "
+                         "regeneration) is a megakernel-schedule mode")
     params = lax.stop_gradient(params)
     if mode == "mega":
         return _record_mega(scene, params, cfg, corners, px, py, sample,
-                            direct_light, block, interpret)
+                            direct_light, block, interpret, n_samples)
     shape = jnp.shape(d0.x)
     h, w = shape
     B = cfg.max_bounces
@@ -256,15 +260,25 @@ def trace_record_fused(scene: Scene, params, cfg: RenderConfig, eye: Vec3,
 
 
 def _record_mega(scene: Scene, params, cfg: RenderConfig, corners, px, py,
-                 sample, direct_light: bool, block, interpret: bool):
-    """Megakernel-schedule recorder: one path per lane (the sample-folded
-    layout), per-lane bounce progression, banked residual writes at the
-    shade/resolve passes (`render.mega.trace_mega_paths(record_banks)`)."""
+                 sample, direct_light: bool, block, interpret: bool,
+                 n_samples: int = 1):
+    """Megakernel-schedule recorder: per-lane bounce progression with
+    banked residual writes at the shade/resolve passes
+    (`render.mega.trace_mega_paths(record_banks)`).
+
+    `n_samples=1`: one path per lane (the caller's sample-folded plane
+    layout).  `n_samples=S>1`: px/py are plain (H, W) pixel planes and
+    each lane traces its S samples with IN-LOOP REGENERATION — the
+    straggler amortization that lifts the render megakernel — banking
+    into (bounce, sample) slots; the returned planes are reshaped to the
+    replay's sample-folded (B, S·H, W) layout, so the consumer is
+    unchanged."""
     from raymarchrenderer_tpu.render.mega import trace_mega_paths
 
     shape = jnp.shape(px)
     h, w = shape
     B = cfg.max_bounces
+    S = int(n_samples)
     nee = direct_light and scene.n_lights > 0
     L = scene.n_lights if nee else 0
     bh, bw = min(block[0], h), min(block[1], w)
@@ -311,30 +325,32 @@ def _record_mega(scene: Scene, params, cfg: RenderConfig, corners, px, py,
         ksample = lax.bitcast_convert_type(sr[:], jnp.uint32)
         ch = Vec3.full((bh, bw), 1.0, 1.0, 1.0)
         _, rec = trace_mega_paths(scene, p, cfg, kcorners, kpx, kpy,
-                                  ksample, ch, n_samples=1,
+                                  ksample, ch, n_samples=S,
                                   shade_gate=0.0,
                                   march_unroll=march_unroll,
                                   direct_light=direct_light,
                                   record_banks=True)
-        for k in range(B):
+        BS = B * S
+        for k in range(BS):
             t_ref[k] = rec[k]
-            mid_ref[k] = rec[B + k]
-            hit_ref[k] = rec[2 * B + k]
-        for j in range(B * L):
-            sd_ref[j] = rec[3 * B + j]
+            mid_ref[k] = rec[BS + k]
+            hit_ref[k] = rec[2 * BS + k]
+        for j in range(BS * L):
+            sd_ref[j] = rec[3 * BS + j]
 
     tile = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                         memory_space=pltpu.VMEM)
     bank = lambda n: pl.BlockSpec((n, bh, bw), lambda i, j: (0, i, j),
                                   memory_space=pltpu.VMEM)
     small_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_specs = [bank(B)] * 3
-    out_shapes = [jax.ShapeDtypeStruct((B, hp, wp), f32),
-                  jax.ShapeDtypeStruct((B, hp, wp), i32),
-                  jax.ShapeDtypeStruct((B, hp, wp), i32)]
+    BS = B * S
+    out_specs = [bank(BS)] * 3
+    out_shapes = [jax.ShapeDtypeStruct((BS, hp, wp), f32),
+                  jax.ShapeDtypeStruct((BS, hp, wp), i32),
+                  jax.ShapeDtypeStruct((BS, hp, wp), i32)]
     if nee:
-        out_specs.append(bank(B * L))
-        out_shapes.append(jax.ShapeDtypeStruct((B * L, hp, wp), f32))
+        out_specs.append(bank(BS * L))
+        out_shapes.append(jax.ShapeDtypeStruct((BS * L, hp, wp), f32))
     outs = pl.pallas_call(
         kernel,
         grid=(hp // bh, wp // bw),
@@ -344,7 +360,15 @@ def _record_mega(scene: Scene, params, cfg: RenderConfig, corners, px, py,
         interpret=interpret,
     )(corners_arr, *leaves2d, *planes)
     crop = lambda a: a[:, :h, :w]
-    rec = {"t": crop(outs[0]), "mid": crop(outs[1]), "hit": crop(outs[2])}
+
+    def fold(a):
+        # slot b·S+s → the replay's sample-folded (B, S·H, W) layout
+        return a.reshape(B, S, h, w).reshape(B, S * h, w)
+
+    rec = {"t": fold(crop(outs[0])), "mid": fold(crop(outs[1])),
+           "hit": fold(crop(outs[2]))}
     if nee:
-        rec["sd"] = crop(outs[3])
+        # slot (b·S+s)·L+li → (B·L, S·H, W) with replay index b·L+li
+        sd = crop(outs[3]).reshape(B, S, L, h, w)
+        rec["sd"] = sd.transpose(0, 2, 1, 3, 4).reshape(B * L, S * h, w)
     return rec

@@ -568,12 +568,21 @@ def render_patch_spp(scene: Scene, params, cfg: RenderConfig, corners,
         march_impl = "fused"  # see render_patch: the sky gather stays in XLA
     if march_impl == "recorded":
         # ONE Pallas launch runs the entire multi-bounce (and shadow)
-        # march for the whole sample-folded plane; the trace below is a
-        # pure XLA shade replay over the recorded geometry
+        # march; each lane traces its S samples with in-loop regeneration
+        # (the megakernel's straggler amortization) and the recorder
+        # returns the banks already reshaped to this function's
+        # sample-folded layout.  The trace below is a pure XLA shade
+        # replay over the recorded geometry.
         from raymarchrenderer_tpu.kernels.record import trace_record_fused
-        recorded = trace_record_fused(scene, params, cfg, eye, d, px, py,
-                                      sample, direct_light=direct_light,
-                                      interpret=interpret, corners=corners)
+        py2 = jnp.broadcast_to(
+            jnp.arange(ph, dtype=jnp.int32)[:, None] + oy, (ph, pw))
+        px2 = jnp.broadcast_to(
+            jnp.arange(pw, dtype=jnp.int32)[None, :] + ox, (ph, pw))
+        recorded = trace_record_fused(scene, params, cfg, None, None,
+                                      px2, py2, sample0,
+                                      direct_light=direct_light,
+                                      interpret=interpret, corners=corners,
+                                      mode="mega", n_samples=S)
 
     if not cfg.separate_channels:
         channels = Vec3.full(shape, 1.0, 1.0, 1.0)

@@ -177,10 +177,9 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
 
     relax = cfg.relax_omega > 1.0
     nee = direct_light and scene.n_lights > 0
-    if record_banks and (n_samples != 1 or dispersion):
-        raise ValueError("record_banks wants one path per lane "
-                         "(n_samples=1, no dispersion) — the train path's "
-                         "sample-folded plane layout")
+    if record_banks and dispersion:
+        raise ValueError("record_banks assumes RGB transport (the "
+                         "differentiable replay has no dispersion mode)")
     if record_banks and defer_sky:
         raise ValueError("record_banks and defer_sky are exclusive modes")
     B = cfg.max_bounces
@@ -263,17 +262,25 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         hitp = st.o + st.d * st.t
         _, mid = scene.map(params, hitp, cfg.max_dist)
         if record_banks:
-            # bank this hit's march residuals at the lane's bounce slot.
-            # Misses and post-termination bounces never reach here — their
-            # slots keep the init values (t=max_dist, mid=-1, hit=0),
-            # which are exactly what the oracle march returns for missed /
-            # inactive lanes, so the replay is residual-complete.
+            # bank this hit's march residuals at the lane's
+            # (bounce, sample) slot — slot = b·S + s, S = n_samples (the
+            # in-loop regeneration amortizes stragglers across the lane's
+            # samples exactly like the render megakernel).  Misses and
+            # post-termination bounces never reach here — their slots
+            # keep the init values (t=max_dist, mid=-1, hit=0), which are
+            # exactly what the oracle march returns for missed / inactive
+            # lanes, so the replay is residual-complete.
+            S = n_paths
+            BS = B * S
             rec = list(st.rec)
-            for k in range(B):
-                selk = waiting & (st.bounce == k)
-                rec[k] = jnp.where(selk, st.t, rec[k])
-                rec[B + k] = jnp.where(selk, mid, rec[B + k])
-                rec[2 * B + k] = jnp.where(selk, 1, rec[2 * B + k])
+            for b_ in range(B):
+                bsel = waiting & (st.bounce == b_)
+                for s_ in range(S):
+                    selk = bsel & (st.s_idx == s_) if S > 1 else bsel
+                    k = b_ * S + s_
+                    rec[k] = jnp.where(selk, st.t, rec[k])
+                    rec[BS + k] = jnp.where(selk, mid, rec[BS + k])
+                    rec[2 * BS + k] = jnp.where(selk, 1, rec[2 * BS + k])
             st = st._replace(rec=tuple(rec))
         normal = get_normal(scene, params, cfg, hitp)
         _, s_id = lane_streams(st.s_idx)
@@ -368,17 +375,23 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         if record_banks:
             # bank the resolved visibility (saturated — ulp-proof against
             # the replay re-deriving dist_l, see kernels/record.py) at the
-            # (bounce, light) slot; st.bounce was already incremented by
-            # the staging shade pass.
+            # (bounce, sample, light) slot; st.bounce was already
+            # incremented by the staging shade pass.
+            S = n_paths
+            BS = B * S
             rec = list(st.rec)
             b_idx = st.bounce - 1
-            for k in range(B):
-                for lk in range(L):
-                    sel = parked & (b_idx == k) & (st.li == lk)
-                    slot = 3 * B + k * L + lk
-                    rec[slot] = jnp.where(
-                        sel, jnp.where(lit, jnp.float32(3.4e38),
-                                       jnp.float32(0.0)), rec[slot])
+            for b_ in range(B):
+                for s_ in range(S):
+                    bs = parked & (b_idx == b_)
+                    if S > 1:
+                        bs = bs & (st.s_idx == s_)
+                    for lk in range(L):
+                        sel = bs & (st.li == lk)
+                        slot = 3 * BS + (b_ * S + s_) * L + lk
+                        rec[slot] = jnp.where(
+                            sel, jnp.where(lit, jnp.float32(3.4e38),
+                                           jnp.float32(0.0)), rec[slot])
             st = st._replace(rec=tuple(rec))
         extra = Vec3(st.extra.x + jnp.where(lit, st.contrib.x, 0.0),
                      st.extra.y + jnp.where(lit, st.contrib.y, 0.0),
@@ -535,13 +548,14 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
                            for _ in range(scene.n_lights - 1)))
     if record_banks:
         # defaults = the oracle march's missed/inactive-lane returns
+        BS = B * n_paths
         init = init._replace(rec=(
             tuple(jnp.full(shape, cfg.max_dist, jnp.float32)
-                  for _ in range(B))
-            + tuple(jnp.full(shape, -1, jnp.int32) for _ in range(B))
-            + tuple(jnp.zeros(shape, jnp.int32) for _ in range(B))
+                  for _ in range(BS))
+            + tuple(jnp.full(shape, -1, jnp.int32) for _ in range(BS))
+            + tuple(jnp.zeros(shape, jnp.int32) for _ in range(BS))
             + tuple(jnp.full(shape, 3.4e38, jnp.float32)
-                    for _ in range(B * L))))
+                    for _ in range(BS * L))))
     if defer_sky:
         # (thr.xyz f32, packed-uv i32) miss-event banks, one slot per
         # path; thr=0 marks a dead slot (path ended on a hit/emitter)
