@@ -258,3 +258,38 @@ class TestMarchInstrumentation:
                                 with_steps=True, t_max=3.0)
         miss = ~np.asarray(march(s, p, cfg, o, d, ones, act)[2])
         assert np.asarray(capped)[miss].mean() < np.asarray(full)[miss].mean()
+
+
+class TestFusedRussianRoulette:
+    def test_fused_rr_unbiased_vs_plain(self):
+        """VERDICT r2 #5 'Done' criterion, stated literally: the FUSED
+        megakernel's roulette leaves the converged mean unbiased.  (The
+        stronger guarantee — bitwise equality to the statistically-tested
+        oracle — is tests/test_mega.py::test_mega_rr_bitwise_matches_
+        oracle; this asserts the estimator property end-to-end through
+        render_fused itself.)"""
+        from raymarchrenderer_tpu.kernels.march import render_fused
+        from raymarchrenderer_tpu.scene.builtin import cornell
+        scene = cornell()
+        params = scene.init_params()
+        corners = Camera(eye=(0, 2, 5.4), direction=(0, 0, -1),
+                         aspect=1.0).corner_rays_flat()
+        base = dict(width=32, height=32, max_steps=96, max_bounces=6,
+                    max_dist=60.0)
+        spp = 96
+        img_p = render_fused(scene, params,
+                             RenderConfig(**base, rr_start_bounce=-1),
+                             corners, jnp.uint32(0), n_samples=spp,
+                             interpret=True)
+        img_r = render_fused(scene, params,
+                             RenderConfig(**base, rr_start_bounce=2,
+                                          rr_min_prob=0.05),
+                             corners, jnp.uint32(0), n_samples=spp,
+                             interpret=True)
+        a = float(jnp.mean(img_p))
+        r = float(jnp.mean(img_r))
+        # same RNG pixel streams, different estimators: agreement is
+        # statistical (frame-mean sigma ~0.7% at 32x32x96spp; a missing
+        # 1/p would shift the mean by tens of percent)
+        assert abs(a - r) / a < 0.05, (a, r)
+        assert not np.array_equal(np.asarray(img_p), np.asarray(img_r))
