@@ -134,14 +134,19 @@ def cmd_render(args) -> int:
                                          save_image, timestamp_name)
     from raymarchrenderer_tpu.render.integrator import render
 
+    from raymarchrenderer_tpu.io.checkpoint import scene_digest
+
     scene = _build_scene(args)
     params = scene.init_params()
     cfg = _config(args)
     corners = _camera(args).corner_rays_flat()
+    digest = scene_digest(scene, params) if args.checkpoint else None
 
     accum, n0 = None, 0.0
     if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
-        st = load_checkpoint(args.checkpoint)
+        # refuses (SceneMismatchError) when the checkpoint was produced by
+        # a different scene — resuming would blend two scenes' images
+        st = load_checkpoint(args.checkpoint, expect_scene_digest=digest)
         accum, n0, cfg = jnp.asarray(st.accum), st.n, st.cfg
         print(f"resuming at {n0:.0f} spp from {args.checkpoint}")
 
@@ -348,6 +353,13 @@ def cmd_parity(args) -> int:
         os.path.abspath(__file__))))
     import importlib.util
     path = os.path.join(root, "tools", "reference_parity.py")
+    if not os.path.exists(path):
+        # tools/ ships with the source checkout, not the wheel — the check
+        # compares against reference artifacts that only live in the repo
+        print("parity: tools/reference_parity.py not found — the gated "
+              "golden-image check needs a source checkout (the reference "
+              "artifacts are repo files, not packaged)", file=sys.stderr)
+        return 2
     spec = importlib.util.spec_from_file_location("_refparity", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)

@@ -314,98 +314,137 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
     corners_arr = jnp.stack([jnp.asarray(c, jnp.float32) for c in corners])
 
     # miss-event bank depth per launch: enough to amortize dispatch +
-    # composite, small enough that the (K, ph, pw) x6 f32 banks stay cheap
-    # in HBM (K=8 at 1024x1024 = 192 MB transient).  With dispersion each
-    # sample is 3 (sample, channel) paths, each with its own bank slot.
+    # composite AND keep the megakernel's cross-sample regeneration deep
+    # (measured: depth 8/16/32 within 3% — docs/performance.md), small
+    # enough that the (K, ph, pw) f32 banks stay bounded in HBM (the mega
+    # path's 4 planes at K=32, 1024x1024 ≈ 512 MB transient).  With
+    # dispersion each sample is 3 (sample, channel) paths, each with its
+    # own bank slot.
     n_paths = n_samples * (3 if cfg.separate_channels else 1)
+    unit = 3 if cfg.separate_channels else 1
     if defer_sky and mode == "mega":
-        # the megakernel's banks live as loop carries, so every chunk must
-        # be a WHOLE number of samples (no n_valid tail masking): pick the
-        # largest per-launch sample count <= 8 paths that divides spp
-        unit = 3 if cfg.separate_channels else 1
-        per = max(1, 32 // unit)
-        while n_samples % per:
-            per -= 1
-        K_BANK = per * unit
+        # the megakernel's banks live as loop carries, so every chunk is a
+        # WHOLE number of samples (no n_valid tail masking): bulk chunks
+        # run at depth 32 paths; a non-multiple spp (e.g. prime) runs ONE
+        # extra tail launch with its own smaller bank depth instead of
+        # silently degrading every chunk to depth 1
+        K_BANK = min(32 // unit, n_samples) * unit
     elif defer_sky:
         K_BANK = min(8, n_paths)
     else:
         K_BANK = n_samples
 
-    kernel = _tile_kernel(scene, cfg, treedef, leaf_shapes, K_BANK,
-                          direct_light, bh, bw, mode, shade_gate,
-                          march_unroll, defer_sky, normalize)
     grid = (php // bh, pwp // bw)
     small_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
-    bank_spec = pl.BlockSpec((K_BANK, bh, bw), lambda i, j: (0, i, j),
-                             memory_space=pltpu.VMEM)
     plane = jax.ShapeDtypeStruct((php, pwp), jnp.float32)
-    bank = jax.ShapeDtypeStruct((K_BANK, php, pwp), jnp.float32)
-    ibank = jax.ShapeDtypeStruct((K_BANK, php, pwp), jnp.int32)
-    if defer_sky and mode == "mega":
-        out_specs = (out_spec,) * 3 + (bank_spec,) * 4
-        out_shapes = (plane,) * 3 + (bank,) * 3 + (ibank,)
-    elif defer_sky:
-        out_specs = (out_spec,) * 3 + (bank_spec,) * 6
-        out_shapes = (plane,) * 3 + (bank,) * 6
-    else:
-        out_specs = (out_spec,) * 3
-        out_shapes = (plane,) * 3
 
-    def launch(sample, n_valid):
-        scalar_arr = jnp.stack([
-            jnp.asarray(sample, jnp.uint32).astype(jnp.int32),
-            jnp.asarray(origin_xy[1], jnp.int32),
-            jnp.asarray(origin_xy[0], jnp.int32),
-            jnp.asarray(n_valid, jnp.int32)]).reshape(1, 4)
-        return pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[small_vmem,
-                      pl.BlockSpec(memory_space=pltpu.SMEM)]
-                     + [small_vmem] * len(leaves2d),
-            out_specs=out_specs,
-            out_shape=out_shapes,
-            interpret=interpret,
-        )(corners_arr, scalar_arr, *leaves2d)
+    def make_chunk_fn(K):
+        """Build the kernel + launcher + composite for bank depth K."""
+        kernel = _tile_kernel(scene, cfg, treedef, leaf_shapes, K,
+                              direct_light, bh, bw, mode, shade_gate,
+                              march_unroll, defer_sky, normalize)
+        bank_spec = pl.BlockSpec((K, bh, bw), lambda i, j: (0, i, j),
+                                 memory_space=pltpu.VMEM)
+        bank = jax.ShapeDtypeStruct((K, php, pwp), jnp.float32)
+        ibank = jax.ShapeDtypeStruct((K, php, pwp), jnp.int32)
+        if defer_sky and mode == "mega":
+            out_specs = (out_spec,) * 3 + (bank_spec,) * 4
+            out_shapes = (plane,) * 3 + (bank,) * 3 + (ibank,)
+        elif defer_sky:
+            out_specs = (out_spec,) * 3 + (bank_spec,) * 6
+            out_shapes = (plane,) * 3 + (bank,) * 6
+        else:
+            out_specs = (out_spec,) * 3
+            out_shapes = (plane,) * 3
+
+        def launch(sample, n_valid):
+            scalar_arr = jnp.stack([
+                jnp.asarray(sample, jnp.uint32).astype(jnp.int32),
+                jnp.asarray(origin_xy[1], jnp.int32),
+                jnp.asarray(origin_xy[0], jnp.int32),
+                jnp.asarray(n_valid, jnp.int32)]).reshape(1, 4)
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[small_vmem,
+                          pl.BlockSpec(memory_space=pltpu.SMEM)]
+                         + [small_vmem] * len(leaves2d),
+                out_specs=out_specs,
+                out_shape=out_shapes,
+                interpret=interpret,
+            )(corners_arr, scalar_arr, *leaves2d)
+
+        if not defer_sky:
+            return launch
+
+        def one_chunk(sample, n_valid):
+            """One K-deep launch + the XLA sky composite: the banked miss
+            throughputs scatter the (bilinear) equirect lookups back onto
+            the hit accumulation.  Dead slots carry thr=0.  The mega
+            kernel banks packed (u, v) (16+16 bits, computed in-kernel);
+            the wavefront banks raw directions and the composite derives
+            (u, v) itself."""
+            if mode == "mega":
+                r, g, b, tr, tg, tb, uvp = launch(sample, n_valid)
+                r, g, b = r[:ph, :pw], g[:ph, :pw], b[:ph, :pw]
+                tr, tg, tb = (tr[:, :ph, :pw], tg[:, :ph, :pw],
+                              tb[:, :ph, :pw])
+                uvp = uvp[:, :ph, :pw]
+                # +0.5: reconstruct at the quantization-bin center
+                u = ((((uvp >> 16) & 0xffff).astype(jnp.float32) + 0.5)
+                     / 65536.0)
+                v = ((uvp & 0xffff).astype(jnp.float32) + 0.5) / 65536.0
+                sky = scene.sky_uv(params, u, v)          # (K, ph, pw)
+            else:
+                r, g, b, tr, tg, tb, dx, dy, dz = launch(sample, n_valid)
+                # crop padding BEFORE the gather — no lookups for dead lanes
+                r, g, b = r[:ph, :pw], g[:ph, :pw], b[:ph, :pw]
+                tr, tg, tb = (tr[:, :ph, :pw], tg[:, :ph, :pw],
+                              tb[:, :ph, :pw])
+                dx, dy, dz = (dx[:, :ph, :pw], dy[:, :ph, :pw],
+                              dz[:, :ph, :pw])
+                sky = scene.sky(params, Vec3(dx, dy, dz))     # (K, ph, pw)
+            return jnp.stack([r + (tr * sky.x).sum(0),
+                              g + (tg * sky.y).sum(0),
+                              b + (tb * sky.z).sum(0)], axis=-1)
+
+        return one_chunk
 
     if not defer_sky:
+        launch = make_chunk_fn(K_BANK)
         r, g, b = launch(sample0, n_samples)
         return jnp.stack([r, g, b], axis=-1)[:ph, :pw]
 
-    def one_chunk(sample, n_valid):
-        """One K_BANK-deep launch + the XLA sky composite: the banked miss
-        throughputs scatter the (bilinear) equirect lookups back onto the
-        hit accumulation.  Dead slots carry thr=0.  The mega kernel banks
-        packed (u, v) (16+16 bits, computed in-kernel); the wavefront
-        banks raw directions and the composite derives (u, v) itself."""
-        if mode == "mega":
-            r, g, b, tr, tg, tb, uvp = launch(sample, n_valid)
-            r, g, b = r[:ph, :pw], g[:ph, :pw], b[:ph, :pw]
-            tr, tg, tb = tr[:, :ph, :pw], tg[:, :ph, :pw], tb[:, :ph, :pw]
-            uvp = uvp[:, :ph, :pw]
-            # +0.5: reconstruct at the quantization-bin center
-            u = (((uvp >> 16) & 0xffff).astype(jnp.float32) + 0.5) / 65536.0
-            v = ((uvp & 0xffff).astype(jnp.float32) + 0.5) / 65536.0
-            sky = scene.sky_uv(params, u, v)          # (K, ph, pw)
-        else:
-            r, g, b, tr, tg, tb, dx, dy, dz = launch(sample, n_valid)
-            # crop padding BEFORE the gather — no sky lookups for dead lanes
-            r, g, b = r[:ph, :pw], g[:ph, :pw], b[:ph, :pw]
-            tr, tg, tb = tr[:, :ph, :pw], tg[:, :ph, :pw], tb[:, :ph, :pw]
-            dx, dy, dz = dx[:, :ph, :pw], dy[:, :ph, :pw], dz[:, :ph, :pw]
-            sky = scene.sky(params, Vec3(dx, dy, dz))     # (K, ph, pw)
-        return jnp.stack([r + (tr * sky.x).sum(0),
-                          g + (tg * sky.y).sum(0),
-                          b + (tb * sky.z).sum(0)], axis=-1)
+    one_chunk = make_chunk_fn(K_BANK)
 
     # the chunk counter runs in PATH units (== samples, or 3x samples when
     # dispersion enumerates (sample, channel) pairs — kernel divides back)
     s0 = jnp.asarray(sample0, jnp.uint32)
     if cfg.separate_channels:
         s0 = s0 * jnp.uint32(3)
+    if mode == "mega":
+        # whole-sample chunks only: bulk at K_BANK + one tail launch for
+        # the remainder (its own compiled kernel at the smaller depth)
+        n_full = n_paths // K_BANK
+        rem = n_paths - n_full * K_BANK
+        if n_full == 1:
+            total = one_chunk(s0, K_BANK)
+        elif n_full > 1:
+            def chunk_body(c, acc):
+                cu = jnp.uint32(c)
+                return acc + one_chunk(s0 + cu * jnp.uint32(K_BANK),
+                                       jnp.int32(K_BANK))
+            total = jax.lax.fori_loop(0, n_full, chunk_body,
+                                      jnp.zeros((ph, pw, 3), jnp.float32))
+        else:
+            total = jnp.zeros((ph, pw, 3), jnp.float32)
+        if rem:
+            tail_chunk = make_chunk_fn(rem)
+            total = total + tail_chunk(s0 + jnp.uint32(n_full * K_BANK),
+                                       jnp.int32(rem))
+        return total / float(n_samples) if normalize else total
     n_chunks = -(-n_paths // K_BANK)
     if n_chunks == 1:
         total = one_chunk(s0, n_paths)

@@ -492,10 +492,15 @@ def render_patch(scene: Scene, params, cfg: RenderConfig, corners,
                jnp.broadcast_to(e.y, (ph, pw)),
                jnp.broadcast_to(e.z, (ph, pw)))
     recorded = None
-    if march_impl == "recorded" and scene.has_env_map:
+    if march_impl == "recorded" and (scene.has_env_map
+                                     or cfg.separate_channels):
         # env scenes keep the per-bounce fused path: the equirect gather
         # must stay in XLA (VPU-hostile + the env image would ship into
-        # VMEM per program); the recording kernel records marches only
+        # VMEM per program); the recording kernel records marches only.
+        # Dispersion (separate_channels) likewise downgrades — the
+        # recorder has no (sample, channel) path enumeration
+        # (kernels/record.py raises) and the per-bounce fused path is the
+        # documented differentiable fallback.
         march_impl = "fused"
     if march_impl == "recorded":
         from raymarchrenderer_tpu.kernels.record import trace_record_fused
@@ -564,8 +569,11 @@ def render_patch_spp(scene: Scene, params, cfg: RenderConfig, corners,
                     v.z.reshape(S, ph, pw).sum(0))
 
     recorded = None
-    if march_impl == "recorded" and scene.has_env_map:
-        march_impl = "fused"  # see render_patch: the sky gather stays in XLA
+    if march_impl == "recorded" and (scene.has_env_map
+                                     or cfg.separate_channels):
+        # see render_patch: sky gathers stay in XLA; dispersion has no
+        # recorded path enumeration — both fall back to the fused march
+        march_impl = "fused"
     if march_impl == "recorded":
         # ONE Pallas launch runs the entire multi-bounce (and shadow)
         # march; each lane traces its S samples with in-loop regeneration

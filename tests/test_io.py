@@ -2,6 +2,8 @@
 import os
 import struct
 
+import jax
+
 import numpy as np
 
 from raymarchrenderer_tpu.io.checkpoint import load_checkpoint, save_checkpoint
@@ -81,6 +83,45 @@ class TestCheckpoint:
         np.testing.assert_array_equal(st.accum, accum)
         assert st.n == 5.0
         assert st.cfg == cfg
+
+    def test_scene_digest_guard(self, tmp_path):
+        """Resume on a checkpoint from a DIFFERENT scene refuses instead of
+        silently blending two scenes' accumulation buffers; same scene
+        (structure + params) resumes fine, legacy digest-less files load."""
+        import pytest
+
+        from raymarchrenderer_tpu.io.checkpoint import (SceneMismatchError,
+                                                        scene_digest)
+        from raymarchrenderer_tpu.scene import builtin
+        s1 = builtin.sphere_on_floor()
+        s2 = builtin.cornell()
+        d1 = scene_digest(s1, s1.init_params())
+        d1b = scene_digest(s1, s1.init_params())
+        d2 = scene_digest(s2, s2.init_params())
+        assert d1 == d1b and d1 != d2
+        cfg = RenderConfig(width=32, height=16, spp=7)
+        p = str(tmp_path / "ckpt.npz")
+        save_checkpoint(p, _gradient(), 3.0, cfg, scene_digest=d1)
+        st = load_checkpoint(p, expect_scene_digest=d1)
+        assert st.scene_digest == d1
+        with pytest.raises(SceneMismatchError):
+            load_checkpoint(p, expect_scene_digest=d2)
+        # digest-less checkpoint: no guard (older files keep loading)
+        p2 = str(tmp_path / "old.npz")
+        save_checkpoint(p2, _gradient(), 1.0, cfg)
+        assert load_checkpoint(p2, expect_scene_digest=d2).scene_digest \
+            is None
+
+    def test_param_change_changes_digest(self):
+        import jax.numpy as jnp
+
+        from raymarchrenderer_tpu.io.checkpoint import scene_digest
+        from raymarchrenderer_tpu.scene import builtin
+        s = builtin.sphere_on_floor()
+        params = s.init_params()
+        d1 = scene_digest(s, params)
+        moved = jax.tree.map(lambda x: x + jnp.float32(0.25), params)
+        assert scene_digest(s, moved) != d1
 
 
 class TestHDR:
