@@ -48,6 +48,17 @@ def main():
     relax = float(os.environ.get("BENCH_RELAX", "1.9"))
     taps = int(os.environ.get("BENCH_NORMAL_TAPS", "4"))
     mode = os.environ.get("BENCH_MODE", "spectral")
+    # the workload knobs below only exist on the RGB transport — fail
+    # LOUDLY rather than silently bench the spectral headline instead
+    # (a `BENCH_ENV=1 python bench.py` that quietly prints the 254 line
+    # would be a false datapoint)
+    if mode != "rgb":
+        for knob in ("BENCH_DIRECT", "BENCH_ENV", "BENCH_DISPERSION"):
+            if os.environ.get(knob, "0") == "1":
+                raise SystemExit(
+                    f"{knob}=1 requires BENCH_MODE=rgb (it selects an RGB-"
+                    f"transport workload); BENCH_MODE={mode!r} would "
+                    f"silently ignore it.")
     # BENCH_DISPERSION=1: gen-1 separateChannels (`RayMarch.glsl:580-598`)
     # folded into the megakernel regen loop — rgb mode only
     dispersion = (os.environ.get("BENCH_DISPERSION", "0") == "1"
@@ -87,11 +98,17 @@ def main():
         m_ball = b.diffuse([0.2, 0.8, 0.3])
         b.box(m_floor, [0, -0.025, 0], [32, 0.05, 32])
         b.sphere(m_ball, [0, 1, 0], 1.0)
-        # BENCH_ENV_FILTER=nearest: 1-tap GL_NEAREST lookups (the gather
-        # is the env path's measured wall; see docs/performance.md)
+        # BENCH_ENV_FILTER=nearest: 1-tap GL_NEAREST lookups.
+        # BENCH_ENV_GATHER=mxu (default): the deferred-sky composite's
+        # lookups run as an MXU tent-weight contraction against the
+        # solid-angle-prefiltered 32x64 mip — the round-4 fix for the
+        # measured gather wall; =exact restores full-res GL_LINEAR
+        # gathers (the reference-parity mode; docs/performance.md).
         scene = b.build(env_image=env_img,
                         env_filter=os.environ.get("BENCH_ENV_FILTER",
-                                                  "linear"))
+                                                  "linear"),
+                        env_gather=os.environ.get("BENCH_ENV_GATHER",
+                                                  "mxu"))
     else:
         scene = sphere_on_floor()
     params = scene.init_params()
@@ -116,7 +133,8 @@ def main():
         step = jax.jit(lambda p, c, s: render_fused(
             scene, p, cfg, c, s, n_samples=spp, direct_light=use_nee))
         impl = ("pallas-mega-nee" if use_nee
-                else "pallas-env-mega-deferred" if use_env
+                else f"pallas-env-mega-deferred-{scene.env_gather}"
+                if use_env
                 else "pallas-mega-dispersion" if dispersion
                 else "pallas-mega")
     else:

@@ -158,9 +158,10 @@ class SceneBuilder:
                            "lights": self._lights,
                            "environment": self._env})
 
-    def build(self, env_image=None, env_filter: str = "linear") -> Scene:
+    def build(self, env_image=None, env_filter: str = "linear",
+              env_gather: str = "exact") -> Scene:
         return loads_scene(self.to_json(), env_image,
-                           env_filter=env_filter)
+                           env_filter=env_filter, env_gather=env_gather)
 
 
 # -----------------------------------------------------------------------------

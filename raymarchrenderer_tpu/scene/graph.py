@@ -168,6 +168,17 @@ class Scene:
     # cut of the env path's gather wall (docs/performance.md) at the cost
     # of hard texel edges in the backdrop
     env_filter: str = "linear"
+    # env lookup mechanism: "exact" gathers the full-res texture (flat
+    # 1-D row takes — measured ~1.4× the 2-D advanced-indexing gather on
+    # TPU); "mxu" replaces the latency-bound gather with an MXU
+    # contraction against a solid-angle-prefiltered `env_mxu_res` table
+    # (tent weights over every table texel = exact bilinear ON THE TABLE,
+    # i.e. GL_LINEAR on a mip — measured 182 M bilinear lookups/s vs the
+    # exact path's 28, docs/performance.md).  Misses are the low-frequency
+    # background, so the mip approximation is the TPU-first default trade;
+    # "exact" remains the reference-parity mode.
+    env_gather: str = "exact"
+    env_mxu_res: Tuple[int, int] = (32, 64)
     # SH environment sky (bands l<=3): params["env"]["sh"] is a (16, 3)
     # coefficient array — the TPU-first env representation (pure FMAs, no
     # gather; its adjoint is gather-free too, which is what makes sky
@@ -275,16 +286,25 @@ class Scene:
         return Vec3(c, c, c)
 
     def sky_uv(self, params: dict, u, v) -> Vec3:
-        """The equirect bilinear lookup from (u, v) directly — the
-        megakernel's deferred-sky banks store packed (u, v) (computed
-        in-kernel with `vecmath.atan2_poly`), so the XLA composite skips
-        the direction math.  Same GL_LINEAR footprint as `sky`."""
+        """The equirect lookup from (u, v) directly — the megakernel's
+        deferred-sky banks store packed (u, v) (computed in-kernel with
+        `vecmath.atan2_poly`), so the XLA composite skips the direction
+        math.  Same GL_LINEAR footprint as `sky`.
+
+        `env_gather="mxu"` routes through `_sky_uv_mxu` (MXU contraction
+        against the prefiltered table); "exact" gathers the full-res
+        texture with flat 1-D row takes — index math identical to 2-D
+        `img[y, x]` advanced indexing (bitwise-equal texels), but XLA:TPU
+        lowers the 1-D form ~1.4× faster (tools/env_gather_probe2.py)."""
         img = params["env"]["image"]  # (H, W, 3) linear float32
         h, w = img.shape[0], img.shape[1]
+        if self.env_gather == "mxu":
+            return self._sky_uv_mxu(img, u, v)
+        flat = img.reshape(h * w, 3)
         if self.env_filter == "nearest":
             x0 = jnp.mod(jnp.floor(u * w).astype(jnp.int32), w)
             y0 = jnp.clip(jnp.floor(v * h).astype(jnp.int32), 0, h - 1)
-            texel = img[y0, x0]
+            texel = jnp.take(flat, y0 * w + x0, axis=0)
             return Vec3(texel[..., 0], texel[..., 1], texel[..., 2])
         # GL_LINEAR: sample point in texel units, centers at +0.5.
         # Vertical clamp-to-edge: clamp the SAMPLE POINT so both taps
@@ -300,15 +320,62 @@ class Scene:
         x1 = jnp.mod(x0 + 1, w)
         y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)  # clamp at poles
         y1 = jnp.clip(y0 + 1, 0, h - 1)
-        t00 = img[y0, x0]
-        t10 = img[y0, x1]
-        t01 = img[y1, x0]
-        t11 = img[y1, x1]
+        t00 = jnp.take(flat, y0 * w + x0, axis=0)
+        t10 = jnp.take(flat, y0 * w + x1, axis=0)
+        t01 = jnp.take(flat, y1 * w + x0, axis=0)
+        t11 = jnp.take(flat, y1 * w + x1, axis=0)
         fx = fx[..., None]
         fy = fy[..., None]
         texel = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
                  + (t01 * (1 - fx) + t11 * fx) * fy)
         return Vec3(texel[..., 0], texel[..., 1], texel[..., 2])
+
+    def _sky_uv_mxu(self, img, u, v) -> Vec3:
+        """Gather-free equirect lookup: tent weights against EVERY texel of
+        the prefiltered `env_mxu_res` table, contracted on the MXU.
+
+        out[n] = W[n, :] @ table[:, 3] with W[n, k] =
+        tent(|x_n - cx_k|, wrap) · tent(|y_n - cy_k|) — exactly the
+        bilinear (GL_LINEAR) kernel on the table: ≤ 4 nonzero weights per
+        row, u wrap-around and v clamp-to-edge matching the exact path's
+        footprint (verified to 6e-8 against explicit 4-tap one-hot,
+        tools/env_gather_probe2.py).  The (N, K) weight matrix is never
+        materialized — XLA fuses the iota-derived tent arithmetic into the
+        matmul's LHS tiles.  Nearest filtering uses the one-hot row
+        instead (1 comparison per (n, k) — measured 277 M lookups/s).
+
+        Semantics: GL_LINEAR/GL_NEAREST on a solid-angle-prefiltered mip
+        of the env (`prefilter_env`), NOT on the full-res texture — the
+        documented fast trade for the low-frequency miss background
+        (`RayMarch.glsl:78-113` exact semantics stay on env_gather="exact").
+        """
+        kh, kw = self.env_mxu_res
+        tab = prefilter_env(img, kh, kw)          # (kh', kw', 3)
+        kh, kw = tab.shape[0], tab.shape[1]
+        tab = tab.reshape(kh * kw, 3)
+        shape = jnp.shape(u)
+        uf = jnp.reshape(u, (-1,))
+        vf = jnp.reshape(v, (-1,))
+        kk = jnp.arange(kh * kw, dtype=jnp.int32)
+        if self.env_filter == "nearest":
+            x0 = jnp.mod(jnp.floor(uf * kw).astype(jnp.int32), kw)
+            y0 = jnp.clip(jnp.floor(vf * kh).astype(jnp.int32), 0, kh - 1)
+            w_nk = ((y0 * kw + x0)[:, None] == kk[None, :]) \
+                .astype(jnp.float32)
+        else:
+            cx = (kk % kw).astype(jnp.float32)    # texel centers - 0.5
+            cy = (kk // kw).astype(jnp.float32)
+            x = uf * kw - 0.5
+            y = jnp.clip(vf * kh - 0.5, 0.0, kh - 1.0)
+            dx = jnp.abs(x[:, None] - cx[None, :])
+            dx = jnp.minimum(dx, kw - dx)         # wrap in phi
+            dy = jnp.abs(y[:, None] - cy[None, :])
+            w_nk = (jnp.maximum(0.0, 1.0 - dx)
+                    * jnp.maximum(0.0, 1.0 - dy))
+        texel = jnp.matmul(w_nk, tab, preferred_element_type=jnp.float32)
+        return Vec3(texel[:, 0].reshape(shape),
+                    texel[:, 1].reshape(shape),
+                    texel[:, 2].reshape(shape))
 
     # -- lights (extension) --------------------------------------------------------
     def light(self, params: dict, i: int):
@@ -322,6 +389,39 @@ def _to_jnp(tree):
     if isinstance(tree, list):
         return [_to_jnp(v) for v in tree]
     return jnp.asarray(tree)
+
+
+def prefilter_env(img, kh: int, kw: int):
+    """Solid-angle-correct box prefilter of an equirect env map to
+    (kh, kw, 3) — the mip the MXU lookup contracts against.
+
+    Equirect rows cover solid angle ∝ sin(θ); a plain uv-space box average
+    would overweight the poles, so each (kh, kw) block averages its texels
+    with sin(θ_row) weights (normalized per block): every table texel is
+    the mean radiance over the solid angle it covers.  Target dims shrink
+    to the largest divisors of (H, W) ≤ (kh, kw), so blocks are whole
+    texels; if the image is already ≤ the target the filter is the
+    identity (which makes the table lookup exactly GL-on-the-image —
+    the mechanism-parity test uses this).  Cheap enough to recompute per
+    composite (one pass over the env texels) — XLA hoists it out of the
+    chunk loop as loop-invariant."""
+    h, w = img.shape[0], img.shape[1]
+    kh = min(kh, h)
+    kw = min(kw, w)
+    while h % kh:
+        kh -= 1
+    while w % kw:
+        kw -= 1
+    if (kh, kw) == (h, w):
+        return img
+    by, bx = h // kh, w // kw
+    # sin(theta) at each source row center; v runs 0 (top pole) -> 1
+    theta = (jnp.arange(h, dtype=jnp.float32) + 0.5) * (jnp.pi / h)
+    wgt = jnp.sin(theta)[:, None, None]                       # (h, 1, 1)
+    num = (img * wgt).reshape(kh, by, kw, bx, 3).sum((1, 3))
+    den = jnp.broadcast_to(wgt, (h, w, 1)) \
+        .reshape(kh, by, kw, bx, 1).sum((1, 3))
+    return num / den
 
 
 # -----------------------------------------------------------------------------
@@ -404,7 +504,8 @@ def _eval_object(obj: ObjectDef, params: Sequence, p: Vec3):
 
 def loads_scene(text: str, env_image: Optional[np.ndarray] = None,
                 env_sh: Optional[np.ndarray] = None,
-                env_filter: str = "linear") -> Scene:
+                env_filter: str = "linear",
+                env_gather: str = "exact") -> Scene:
     """Parse a `.scene` JSON string (either format generation).
 
     `env_image`: (H, W, 3) equirect texture sky (`Graphics.cpp:287` slot).
@@ -462,13 +563,14 @@ def loads_scene(text: str, env_image: Optional[np.ndarray] = None,
             "lights": light_params, "env": env_params}
     return Scene(tuple(mats), tuple(objs), n_lights=len(lights),
                  has_env_map=has_env, has_sh_env=has_sh,
-                 env_filter=env_filter,
+                 env_filter=env_filter, env_gather=env_gather,
                  spectral_rows=spec_rows, _init=init)
 
 
 def load_scene(path: str, env_image: Optional[np.ndarray] = None,
                env_sh: Optional[np.ndarray] = None,
-               env_filter: str = "linear") -> Scene:
+               env_filter: str = "linear",
+               env_gather: str = "exact") -> Scene:
     with open(path) as f:
         return loads_scene(f.read(), env_image, env_sh=env_sh,
-                           env_filter=env_filter)
+                           env_filter=env_filter, env_gather=env_gather)
