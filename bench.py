@@ -118,20 +118,32 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     use_pallas = impl == "pallas" or (impl == "auto" and on_tpu)
+    # round-4 schedule knobs (lazy boundary miss test + cheap retire
+    # cadence — render.mega docstrings); defaults are the swept optima,
+    # BENCH_LAZY_MISS=0 / BENCH_REGEN_CADENCE=0 restore the round-3
+    # strict schedule
+    from raymarchrenderer_tpu.kernels.march import (DEFAULT_LAZY_MISS,
+                                                    DEFAULT_REGEN_CADENCE)
+    lazy = os.environ.get("BENCH_LAZY_MISS",
+                          "1" if DEFAULT_LAZY_MISS else "0") == "1"
+    cadence = int(os.environ.get("BENCH_REGEN_CADENCE",
+                                 str(DEFAULT_REGEN_CADENCE)))
     if use_pallas and mode == "spectral":
         from raymarchrenderer_tpu.kernels.march import render_fused_spectral
         from raymarchrenderer_tpu.render.spectral_integrator import (
             spectral_demo)
         scene, params, mats = spectral_demo()
         step = jax.jit(lambda p, c, s: render_fused_spectral(
-            scene, p, mats, cfg, c, s, n_samples=spp))
+            scene, p, mats, cfg, c, s, n_samples=spp,
+            lazy_miss=lazy, regen_cadence=cadence))
         impl = "pallas-mega-spectral"
     elif use_pallas:
         from raymarchrenderer_tpu.kernels.march import render_fused
         # one launch, in-kernel spp loop (megakernel mode): samples
         # accumulate in VMEM, HBM sees one write per tile
         step = jax.jit(lambda p, c, s: render_fused(
-            scene, p, cfg, c, s, n_samples=spp, direct_light=use_nee))
+            scene, p, cfg, c, s, n_samples=spp, direct_light=use_nee,
+            lazy_miss=lazy, regen_cadence=cadence))
         impl = ("pallas-mega-nee" if use_nee
                 else f"pallas-env-mega-deferred-{scene.env_gather}"
                 if use_env

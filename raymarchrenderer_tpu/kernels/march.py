@@ -61,6 +61,20 @@ DEFAULT_BW = 128
 # cond of the adaptive gate cost more than they save.
 DEFAULT_SHADE_GATE = 0.0
 DEFAULT_MARCH_UNROLL = 32
+# Round-4 issue-roofline knobs for the megakernels (see
+# render.mega.trace_mega_spectral / trace_mega_paths): lazy_miss moves
+# the per-step miss test to pass boundaries (254 -> 290 Mpix*spp/s on the
+# spectral headline alone); regen_cadence adds a cheap retire pass every
+# k steps (-> 299 combined).  Swept on-chip round 4 (docs/performance.md;
+# tools/headline_sweep.py): unroll 32 / cadence 16 is the measured
+# optimum, and both knobs measured BITWISE on the headline scene (lazy
+# miss diverges only for rays grazing geometry at the max_dist shell /
+# step budget — the relax_omega trade class).  Keep unroll a multiple of
+# the cadence and a divisor of max_steps (misalignment reintroduces the
+# budget-overshoot divergence: measured 3e-2 on ~2e-6 of pixels at
+# unroll 40/cad 20).
+DEFAULT_LAZY_MISS = True
+DEFAULT_REGEN_CADENCE = 16
 
 
 def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
@@ -68,7 +82,8 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
                  mode: str = "wavefront",
                  shade_gate: float = DEFAULT_SHADE_GATE,
                  march_unroll: int = DEFAULT_MARCH_UNROLL,
-                 defer_sky: bool = False, normalize: bool = True):
+                 defer_sky: bool = False, normalize: bool = True,
+                 lazy_miss: bool = False, regen_cadence: int = 0):
     """Build the kernel body (closed over the static scene/config)."""
 
     def kernel(corners_ref, scalar_ref, *refs):
@@ -132,7 +147,9 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
                                       march_unroll=march_unroll,
                                       dispersion=cfg.separate_channels,
                                       direct_light=direct_light,
-                                      defer_sky=True)
+                                      defer_sky=True,
+                                      lazy_miss=lazy_miss,
+                                      regen_cadence=regen_cadence)
             # RAW per-pixel sums like the wavefront defer branch — the
             # host divides ONCE after compositing all chunks
             out_r[:] = c.x
@@ -155,7 +172,9 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
                                  shade_gate=shade_gate,
                                  march_unroll=march_unroll,
                                  dispersion=cfg.separate_channels,
-                                 direct_light=direct_light)
+                                 direct_light=direct_light,
+                                 lazy_miss=lazy_miss,
+                                 regen_cadence=regen_cadence)
             out_r[:] = c.x * inv
             out_g[:] = c.y * inv
             out_b[:] = c.z * inv
@@ -251,7 +270,8 @@ def _tile_kernel(scene: Scene, cfg: RenderConfig, treedef, leaf_shapes,
     jax.jit,
     static_argnames=("scene", "cfg", "patch_shape", "n_samples",
                      "direct_light", "block", "interpret", "mode",
-                     "shade_gate", "march_unroll", "normalize"))
+                     "shade_gate", "march_unroll", "normalize",
+                     "lazy_miss", "regen_cadence"))
 def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
                        origin_xy, patch_shape, sample0,
                        n_samples: int = 1, direct_light: bool = False,
@@ -259,7 +279,9 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
                        interpret: bool = False, mode: str = "auto",
                        shade_gate: float = DEFAULT_SHADE_GATE,
                        march_unroll: int = DEFAULT_MARCH_UNROLL,
-                       normalize: bool = True):
+                       normalize: bool = True,
+                       lazy_miss: bool = DEFAULT_LAZY_MISS,
+                       regen_cadence: int = DEFAULT_REGEN_CADENCE):
     """Mean of `n_samples` samples of a (ph, pw) pixel patch at dynamic
     origin `origin_xy` — the fused-kernel twin of
     `render.integrator.render_patch` (unit of tile sharding).  Returns
@@ -280,9 +302,12 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
         # out-of-kernel equirect composite
         mode = "mega"
     if interpret:
-        # unroll is a pure scheduling knob (bitwise invariant); the Pallas
-        # interpreter just pays its trace blow-up, so keep tests fast
+        # unroll/cadence are pure scheduling knobs (bitwise invariant); the
+        # Pallas interpreter just pays its trace blow-up, so keep tests
+        # fast.  lazy_miss is kept as passed (its divergence class is what
+        # the interpreter tests pin down).
         march_unroll = 1
+        regen_cadence = 0
     bh, bw = block
     # clamp the block to the patch, then PAD the patch up to a block
     # multiple (instead of shrinking the block to a divisor: the largest
@@ -344,7 +369,8 @@ def render_fused_patch(scene: Scene, params, cfg: RenderConfig, corners,
         """Build the kernel + launcher + composite for bank depth K."""
         kernel = _tile_kernel(scene, cfg, treedef, leaf_shapes, K,
                               direct_light, bh, bw, mode, shade_gate,
-                              march_unroll, defer_sky, normalize)
+                              march_unroll, defer_sky, normalize,
+                              lazy_miss, regen_cadence)
         bank_spec = pl.BlockSpec((K, bh, bw), lambda i, j: (0, i, j),
                                  memory_space=pltpu.VMEM)
         bank = jax.ShapeDtypeStruct((K, php, pwp), jnp.float32)
@@ -562,13 +588,16 @@ def render_fused(scene: Scene, params, cfg: RenderConfig, corners,
                  sample0, n_samples: int = 1, direct_light: bool = False,
                  block=(DEFAULT_BH, DEFAULT_BW), interpret: bool = False,
                  mode: str = "auto", shade_gate: float = DEFAULT_SHADE_GATE,
-                 march_unroll: int = DEFAULT_MARCH_UNROLL):
+                 march_unroll: int = DEFAULT_MARCH_UNROLL,
+                 lazy_miss: bool = DEFAULT_LAZY_MISS,
+                 regen_cadence: int = DEFAULT_REGEN_CADENCE):
     """Full-frame fused render (patch at origin (0,0))."""
     return render_fused_patch(
         scene, params, cfg, corners, (0, 0), (cfg.height, cfg.width),
         sample0, n_samples=n_samples, direct_light=direct_light,
         block=block, interpret=interpret, mode=mode, shade_gate=shade_gate,
-        march_unroll=march_unroll)
+        march_unroll=march_unroll, lazy_miss=lazy_miss,
+        regen_cadence=regen_cadence)
 
 
 def render_sample_fused(scene: Scene, params, cfg: RenderConfig, corners,
@@ -642,7 +671,9 @@ def render_fused_spectral(scene: Scene, params, mats, cfg: RenderConfig,
                           shade_gate: float = DEFAULT_SHADE_GATE,
                           march_unroll: int = DEFAULT_MARCH_UNROLL,
                           origin_xy=(0, 0), patch_shape=None,
-                          normalize: bool = True):
+                          normalize: bool = True,
+                          lazy_miss: bool = DEFAULT_LAZY_MISS,
+                          regen_cadence: int = DEFAULT_REGEN_CADENCE):
     """Fused gen-3 spectral render (`RayMarch3.glsl` wavelength transport)
     as ONE Pallas launch: the whole spectral integrator — band filters via
     a Mosaic-safe select chain, wavelength→RGB splat — runs per tile.
@@ -659,7 +690,10 @@ def render_fused_spectral(scene: Scene, params, mats, cfg: RenderConfig,
     from raymarchrenderer_tpu.render.spectral_integrator import trace_spectral
 
     if interpret:
-        march_unroll = 1  # pure scheduling knob; keep interpreter traces fast
+        # pure scheduling knobs; keep interpreter traces fast (cadence
+        # parity is covered by direct trace_mega_spectral tests)
+        march_unroll = 1
+        regen_cadence = 0
 
     bh, bw = block
     ph, pw = patch_shape if patch_shape is not None else (cfg.height,
@@ -715,7 +749,9 @@ def render_fused_spectral(scene: Scene, params, mats, cfg: RenderConfig,
             c = trace_mega_spectral(scene, p, m, cfg, corners_t, px, py,
                                     s0, n_samples=n_samples,
                                     shade_gate=shade_gate,
-                                    march_unroll=march_unroll)
+                                    march_unroll=march_unroll,
+                                    lazy_miss=lazy_miss,
+                                    regen_cadence=regen_cadence)
             out_r[:] = c.x * inv
             out_g[:] = c.y * inv
             out_b[:] = c.z * inv

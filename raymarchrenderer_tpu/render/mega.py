@@ -126,7 +126,9 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
                      dispersion: bool = False,
                      direct_light: bool = False,
                      record_banks: bool = False,
-                     defer_sky: bool = False):
+                     defer_sky: bool = False,
+                     lazy_miss: bool = False,
+                     regen_cadence: int = 0):
     """Sum of `n_samples` samples per pixel (regenerated in-loop), equal to
     Σ_s trace_rgb(sample0+s) to float32 rounding.  Forward only —
     `lax.while_loop` has no transpose; use `trace_rgb(differentiable=True)`
@@ -141,7 +143,17 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
     `s·4 + ci + 1`, exactly the oracle's keying
     (`render.integrator.render_patch`), so the accumulated sum equals the
     oracle's per-channel sum up to float32 re-association (the oracle adds
-    R+G+B per sample before banking; here each channel banks separately)."""
+    R+G+B per sample before banking; here each channel banks separately).
+
+    `lazy_miss` / `regen_cadence`: the round-4 issue-roofline knobs, same
+    contracts as on `trace_mega_spectral` — lazy_miss moves the per-step
+    miss test (and the miss-time sky multiply) to pass boundaries
+    (converged-equal; bitwise when geometry is well inside max_dist and
+    the step budget never binds); regen_cadence=k adds a CHEAP pass every
+    k steps that retires parked misses/finished paths (and, under NEE,
+    resolves parked shadow segments) without the full shade pass's map +
+    normal + material ops — bitwise (pure scheduling).  Not supported in
+    record_banks mode (the recorder keeps the strict schedule)."""
     shape = jnp.shape(px)
     e = eye_vec(corners)
     eye = Vec3(jnp.broadcast_to(e.x, shape).astype(jnp.float32),
@@ -182,6 +194,11 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
                          "differentiable replay has no dispersion mode)")
     if record_banks and defer_sky:
         raise ValueError("record_banks and defer_sky are exclusive modes")
+    if record_banks and (lazy_miss or regen_cadence):
+        raise ValueError("record_banks keeps the strict schedule "
+                         "(lazy_miss/regen_cadence are render-only knobs)")
+    if regen_cadence and march_unroll % regen_cadence:
+        raise ValueError("regen_cadence must divide march_unroll")
     B = cfg.max_bounces
     L = scene.n_lights if nee else 0
 
@@ -218,6 +235,30 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         # unconditional: only marching lanes' counts are read (is_miss is
         # masked by `seg`) and every MARCH transition resets to 0
         steps = st.steps + 1
+        if lazy_miss:
+            # miss detection (and the miss-time sky multiply) deferred to
+            # `mark_misses` at the pass/cadence boundary — the hot loop
+            # carries only the hit test
+            thr = st.thr
+            if nee:
+                state = jnp.where(is_hit,
+                                  jnp.where(shadow, _SH_OCC, _WAIT),
+                                  st.state)
+            else:
+                state = jnp.where(is_hit, _WAIT, st.state)
+            still = seg & ~is_hit
+            if relax:
+                new_len = jnp.where(fail, st.step_len * (1.0 - st.omega),
+                                    dist * st.omega)
+                omega = jnp.where(fail, 1.0, st.omega)
+                prev_r = jnp.where(still, jnp.abs(dist), st.prev_r)
+                step_len = jnp.where(still, jnp.abs(new_len), st.step_len)
+                t = jnp.where(still, st.t + new_len, st.t)
+                return st._replace(t=t, thr=thr, state=state, steps=steps,
+                                   omega=omega, prev_r=prev_r,
+                                   step_len=step_len)
+            t = jnp.where(still, st.t + dist * cfg.step_multiply, st.t)
+            return st._replace(t=t, thr=thr, state=state, steps=steps)
         # miss on the PRE-step t (parity with `march`, RayMarch.glsl:233-257)
         # or on step-budget exhaustion (march loop falling off the end).
         is_miss = seg & ~fail & ~is_hit & (
@@ -499,6 +540,43 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
             prev_r=jnp.where(mask, 0.0, st.prev_r),
             step_len=jnp.where(mask, 0.0, st.step_len))
 
+    def mark_misses(st: _MegaState) -> _MegaState:
+        """lazy_miss boundary test: park exhausted segments as misses (and
+        apply the miss-time sky multiply the strict step would have)."""
+        if nee:
+            shadow = st.state == _SHADOW
+            seg = (st.state == _MARCH) | shadow
+            tmax = st.seg_tmax
+        else:
+            seg = st.state == _MARCH
+            tmax = cfg.max_dist
+        is_miss = seg & ((st.t >= tmax) | (st.steps >= cfg.max_steps))
+        miss_state = _WAIT_MISS if defer_sky else _REGEN
+        if not defer_sky:
+            sky = scene.sky(params, st.d)
+        if nee:
+            bounce_miss = is_miss & ~shadow
+            thr = (st.thr if defer_sky
+                   else vselect(bounce_miss, st.thr * sky, st.thr))
+            state = jnp.where(is_miss,
+                              jnp.where(shadow, _SH_LIT, miss_state),
+                              st.state)
+        else:
+            thr = (st.thr if defer_sky
+                   else vselect(is_miss, st.thr * sky, st.thr))
+            state = jnp.where(is_miss, miss_state, st.state)
+        return st._replace(thr=thr, state=state)
+
+    def cheap_pass(st: _MegaState) -> _MegaState:
+        """Cadence pass: retire finished paths (and resolve parked shadow
+        segments under NEE) WITHOUT the full shade pass's map + normal +
+        material ops.  Bitwise — pure scheduling (regen/resolve compute
+        the same per-lane values whenever they run)."""
+        st = mark_misses(st) if lazy_miss else st
+        if nee:
+            st = resolve(st)
+        return regen(st)
+
     def parked_pass(st: _MegaState) -> _MegaState:
         if nee:
             # shade stages new shadow segments; resolve banks finished
@@ -507,8 +585,18 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         return regen(shade(st))
 
     def body(st: _MegaState) -> _MegaState:
-        for _ in range(march_unroll):
-            st = march_step(st)
+        if regen_cadence and regen_cadence < march_unroll:
+            n_sub = march_unroll // regen_cadence
+            for c in range(n_sub):
+                for _ in range(regen_cadence):
+                    st = march_step(st)
+                if c < n_sub - 1:
+                    st = cheap_pass(st)
+        else:
+            for _ in range(march_unroll):
+                st = march_step(st)
+        if lazy_miss:
+            st = mark_misses(st)
         if shade_gate <= 0:
             # unconditional cadence: one (masked) pass per chunk — no global
             # reductions, no cond.  Right when segments are short (relaxed
@@ -615,7 +703,9 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
                         corners, px, py, sample0, n_samples: int = 1,
                         shade_gate: float = 0.0,
                         march_unroll: int = 1,
-                        with_occupancy: bool = False):
+                        with_occupancy: bool = False,
+                        lazy_miss: bool = False,
+                        regen_cadence: int = 0):
     """Spectral twin of `trace_mega_paths`: sum over `n_samples` of
     `wavelengthToColor(λ)·power` per pixel, bitwise equal to
     Σ_s render_sample_spectral(sample0+s) (same RNG slots per
@@ -625,7 +715,33 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
     steps) per-lane counters: every `march_step` increments `total` for
     every lane and `marching` only where the lane is in `_MARCH` — their
     ratio is the tile's masked-lane occupancy (the divergence bound of
-    the megakernel schedule; `utils.metrics.mega_occupancy_profile`)."""
+    the megakernel schedule; `utils.metrics.mega_occupancy_profile`).
+
+    Round-4 issue-roofline knobs (docs/performance.md — the march loop is
+    VPU-ISSUE-bound, so per-step ops are the currency):
+
+    `lazy_miss=True` moves the 6-op per-step miss test (t ≥ max_dist |
+    steps ≥ max_steps, plus its state select) OUT of the march step to
+    the pass boundary.  Legal because (1) a parked lane burns the map
+    eval anyway — SIMD — so overshoot steps cost nothing extra, (2) a
+    missed path's t/steps are never read by the shade (the sky band
+    depends only on the RNG slot), and (3) segments start at pass
+    boundaries, so the steps budget is tested at the same counts.  NOT
+    bitwise in full generality: a lane that crosses the max_dist shell
+    mid-chunk keeps marching to the boundary and can (rarely, grazing
+    geometry AT the shell) hit where the strict march declared the miss
+    first — the relax_omega/normal_taps class of O(rare-lane) trade
+    (converged-equal; bitwise on scenes whose geometry is well inside
+    max_dist, asserted in tests/test_mega.py).
+
+    `regen_cadence=k` (0 = off) additionally runs a CHEAP pass every k
+    march steps (k divides march_unroll) that retires ONLY parked misses
+    — sky band + splat + respawn, no map/normal — so miss-terminated
+    lanes re-enter the march up to unroll/k× sooner without paying the
+    full shade pass's ops at that cadence.  Pure scheduling: the RNG
+    slots drawn are identical, so it IS bitwise (each lane's path
+    sequence is unchanged, only the wall-clock step at which it respawns
+    moves)."""
     from raymarchrenderer_tpu.core.spectral import wavelength_to_rgb
     from raymarchrenderer_tpu.render.spectral_integrator import (
         _apply_band, _lookup)
@@ -638,6 +754,8 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
     s0 = jnp.asarray(sample0).astype(jnp.uint32)
     sky_min, sky_max, sky_p = 390.0, 830.0, jnp.float32(cfg.sky_power)
     relax = cfg.relax_omega > 1.0
+    if regen_cadence and march_unroll % regen_cadence:
+        raise ValueError("regen_cadence must divide march_unroll")
 
     def primary(s_idx):
         s = s0 + s_idx.astype(jnp.uint32)
@@ -661,13 +779,19 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
         # masked by `marching`), and every MARCH transition resets to 0,
         # so dropping the select is exact
         steps = st.steps + 1
-        is_miss = marching & ~fail & ~is_hit & (
-            (st.t >= cfg.max_dist) | (steps >= cfg.max_steps))
-        # both hit AND miss park for the shade pass: the sky is an emitter
-        # band filter that draws the same RNG slot as a surface would
-        state = jnp.where(is_hit, _WAIT,
-                          jnp.where(is_miss, _WAIT_MISS, st.state))
-        still = marching & ~is_hit & ~is_miss
+        if lazy_miss:
+            # miss detection deferred to `mark_misses` at the pass
+            # boundary — the hot loop carries only the hit test
+            state = jnp.where(is_hit, _WAIT, st.state)
+            still = marching & ~is_hit
+        else:
+            is_miss = marching & ~fail & ~is_hit & (
+                (st.t >= cfg.max_dist) | (steps >= cfg.max_steps))
+            # both hit AND miss park for the shade pass: the sky is an
+            # emitter band filter drawing the same RNG slot as a surface
+            state = jnp.where(is_hit, _WAIT,
+                              jnp.where(is_miss, _WAIT_MISS, st.state))
+            still = marching & ~is_hit & ~is_miss
         if relax:
             new_len = jnp.where(fail, st.step_len * (1.0 - st.omega),
                                 dist * st.omega)
@@ -679,6 +803,12 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
                                omega=omega, prev_r=prev_r, step_len=step_len)
         t = jnp.where(still, st.t + dist * cfg.step_multiply, st.t)
         return st._replace(t=t, state=state, steps=steps)
+
+    def mark_misses(st: _SpecState) -> _SpecState:
+        """lazy_miss boundary test: park exhausted marchers as misses."""
+        is_miss = (st.state == _MARCH) & ((st.t >= cfg.max_dist)
+                                          | (st.steps >= cfg.max_steps))
+        return st._replace(state=jnp.where(is_miss, _WAIT_MISS, st.state))
 
     def shade(st: _SpecState) -> _SpecState:
         waiting = (st.state == _WAIT) | (st.state == _WAIT_MISS)
@@ -740,17 +870,47 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
             prev_r=jnp.where(mask, 0.0, st.prev_r),
             step_len=jnp.where(mask, 0.0, st.step_len))
 
+    def miss_pass(st: _SpecState) -> _SpecState:
+        """Cheap cadence pass: retire ONLY parked misses — sky band +
+        splat + respawn, no map eval, no normals.  Draws the same RNG
+        slot `shade` would (the stream is counter-based, so not drawing
+        the unused direction slots changes nothing), so path sequences
+        are bitwise-identical to the full-pass-only schedule."""
+        missing = st.state == _WAIT_MISS
+        s_id = s0 + st.s_idx.astype(jnp.uint32)
+        rng = RNGStream(cfg.seed, px, py, s_id, st.bounce)
+        u = rng.next()
+        wl_s, pw_s, _ = _apply_band(st.wl, st.power, u,
+                                    sky_min, sky_max, sky_p)
+        st = st._replace(
+            wl=jnp.where(missing, wl_s, st.wl),
+            power=jnp.where(missing, pw_s, st.power),
+            bounce=jnp.where(missing, st.bounce + 1, st.bounce),
+            state=jnp.where(missing, _REGEN, st.state))
+        return regen(st)
+
     def parked_pass(st: _SpecState) -> _SpecState:
         return regen(shade(st))
 
     def body(st: _SpecState) -> _SpecState:
-        for _ in range(march_unroll):
-            st = march_step(st)
+        if regen_cadence and regen_cadence < march_unroll:
+            n_sub = march_unroll // regen_cadence
+            for c in range(n_sub):
+                for _ in range(regen_cadence):
+                    st = march_step(st)
+                if c < n_sub - 1:
+                    st = miss_pass(mark_misses(st) if lazy_miss else st)
+        else:
+            for _ in range(march_unroll):
+                st = march_step(st)
+        if lazy_miss:
+            st = mark_misses(st)
         if shade_gate <= 0:
             return parked_pass(st)
         n_march = jnp.sum((st.state == _MARCH).astype(jnp.int32))
         n_park = jnp.sum(((st.state == _WAIT)
-                          | (st.state == _REGEN)).astype(jnp.int32))
+                          | (st.state == _REGEN)
+                          | (st.state == _WAIT_MISS)).astype(jnp.int32))
         do_pass = (n_park > 0) & (
             n_park.astype(jnp.float32) * jnp.float32(shade_gate)
             >= n_march.astype(jnp.float32))

@@ -185,7 +185,9 @@ class MetricsLogger:
 def mega_occupancy_profile(scene, params, mats, cfg, corners, sample,
                            n_samples: int = 8, tiles: int = 8,
                            bh: int = 32, bw: int = 128,
-                           march_unroll: int = 32) -> dict:
+                           march_unroll: int = None,
+                           lazy_miss: bool = None,
+                           regen_cadence: int = None) -> dict:
     """Measured masked-lane occupancy of the spectral megakernel schedule
     — the divergence bound of the production kernel.
 
@@ -197,7 +199,17 @@ def mega_occupancy_profile(scene, params, mats, cfg, corners, sample,
     for the next shade pass cadence, or exhausted stragglers)."""
     import numpy as np
 
+    from raymarchrenderer_tpu.kernels.march import (DEFAULT_LAZY_MISS,
+                                                    DEFAULT_MARCH_UNROLL,
+                                                    DEFAULT_REGEN_CADENCE)
     from raymarchrenderer_tpu.render.mega import trace_mega_spectral
+
+    # mirror the production kernel's schedule knobs by default
+    march_unroll = DEFAULT_MARCH_UNROLL if march_unroll is None \
+        else march_unroll
+    lazy_miss = DEFAULT_LAZY_MISS if lazy_miss is None else lazy_miss
+    regen_cadence = DEFAULT_REGEN_CADENCE if regen_cadence is None \
+        else regen_cadence
 
     th, tw = max(cfg.height // bh, 1), max(cfg.width // bw, 1)
     idxs = np.unique(np.linspace(0, th * tw - 1, tiles).astype(int))
@@ -214,6 +226,8 @@ def mega_occupancy_profile(scene, params, mats, cfg, corners, sample,
                                       px, py, s, n_samples=n_samples,
                                       shade_gate=0.0,
                                       march_unroll=march_unroll,
+                                      lazy_miss=lazy_miss,
+                                      regen_cadence=regen_cadence,
                                       with_occupancy=True)
         return jnp.sum(m), jnp.sum(t)
 

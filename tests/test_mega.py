@@ -265,3 +265,85 @@ def test_mega_dispersion_with_nee_matches_oracle():
     # the worst single-lane deviation, not per-pixel equality
     assert float((d > 1e-3).mean()) < 1e-3, (d.max(), (d > 1e-3).mean())
     assert float(d.max()) < 0.1, float(d.max())
+
+
+class TestRound4ScheduleKnobs:
+    """lazy_miss / regen_cadence (round-4 issue-roofline knobs): cadence is
+    bitwise by construction (pure scheduling); lazy_miss is converged-equal
+    in general and bitwise on scenes whose geometry sits well inside
+    max_dist (the headline scene measured bitwise at 1024^2x128 on-chip —
+    tools/headline_sweep.py)."""
+
+    def _rgb(self, scene, cfg, corners, **kw):
+        px, py = pixel_grid(cfg.width, cfg.height)
+        ch = Vec3.full((cfg.height, cfg.width), 1.0, 1.0, 1.0)
+        params = scene.init_params()
+        return np.asarray(mega.trace_mega_paths(
+            scene, params, cfg, corners, px, py, jnp.uint32(1), ch,
+            n_samples=2, march_unroll=8, **kw).stack(-1))
+
+    def test_rgb_cadence_bitwise(self):
+        scene = sphere_on_floor()
+        corners = Camera(aspect=1.0).corner_rays_flat()
+        base = self._rgb(scene, CFG, corners)
+        np.testing.assert_array_equal(
+            base, self._rgb(scene, CFG, corners, regen_cadence=4))
+
+    def test_rgb_lazy_miss_converged_equal(self):
+        scene = sphere_on_floor()
+        corners = Camera(aspect=1.0).corner_rays_flat()
+        base = self._rgb(scene, CFG, corners)
+        out = self._rgb(scene, CFG, corners, lazy_miss=True,
+                        regen_cadence=4)
+        # geometry well inside max_dist and a generous step budget: the
+        # boundary miss test fires on the same lane set
+        assert (np.abs(out - base) > 1e-4).mean() < 1e-3
+
+    def test_nee_cadence_bitwise(self):
+        from raymarchrenderer_tpu.scene.builtin import SceneBuilder
+        b = SceneBuilder()
+        m = b.diffuse([0.7, 0.7, 0.7])
+        b.sphere(m, [0, 1, 0], 1.0)
+        b.box(m, [0, -0.05, 0], [8, 0.05, 8])
+        b.light([3, 6, -3], 40.0, 0.5)
+        scene = b.build()
+        corners = Camera(aspect=1.0).corner_rays_flat()
+        base = self._rgb(scene, CFG, corners, direct_light=True)
+        np.testing.assert_array_equal(
+            base,
+            self._rgb(scene, CFG, corners, direct_light=True,
+                      regen_cadence=4))
+        lazy = self._rgb(scene, CFG, corners, direct_light=True,
+                         lazy_miss=True, regen_cadence=4)
+        assert (np.abs(lazy - base) > 1e-4).mean() < 1e-3
+
+    def test_spectral_cadence_bitwise(self):
+        from raymarchrenderer_tpu.render.raygen import pixel_grid as pg
+        from raymarchrenderer_tpu.render.spectral_integrator import (
+            spectral_demo)
+        scene, params, mats = spectral_demo()
+        cfg = CFG.replace(max_bounces=4)
+        corners = Camera(aspect=1.0).corner_rays_flat()
+        px, py = pg(cfg.width, cfg.height)
+
+        def run(**kw):
+            c = mega.trace_mega_spectral(scene, params, mats, cfg, corners,
+                                         px, py, jnp.uint32(0),
+                                         n_samples=3, march_unroll=8, **kw)
+            return np.asarray(c.stack(-1))
+
+        base = run()
+        np.testing.assert_array_equal(base, run(regen_cadence=4))
+        lazy = run(lazy_miss=True, regen_cadence=4)
+        assert (np.abs(lazy - base) > 1e-4).mean() < 1e-3
+
+    def test_record_banks_rejects_knobs(self):
+        scene = sphere_on_floor()
+        params = scene.init_params()
+        corners = Camera(aspect=1.0).corner_rays_flat()
+        px, py = pixel_grid(8, 8)
+        ch = Vec3.full((8, 8), 1.0, 1.0, 1.0)
+        with pytest.raises(ValueError, match="strict schedule"):
+            mega.trace_mega_paths(scene, params, CFG, corners, px, py,
+                                  jnp.uint32(0), ch, record_banks=True,
+                                  lazy_miss=True)
