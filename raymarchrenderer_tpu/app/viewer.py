@@ -232,7 +232,11 @@ class ViewerState:
                         self.accum = np.asarray(state[0])
                         self.n = float(state[1])
                 return
-            if use_fused and not direct_light:
+            if use_fused:
+                # megakernel for every RGB workload — NEE shadow marches
+                # run as in-loop segments and env-map scenes defer their
+                # sky to the composite (round 3 made both fused paths;
+                # round 4 removes the viewer's oracle fallback for them)
                 from raymarchrenderer_tpu.kernels.march import (
                     render_progressive_fused)
                 img, n = None, 0.0
@@ -241,7 +245,8 @@ class ViewerState:
                     k = min(chunk, cfg.spp - int(n))
                     img, n = render_progressive_fused(
                         scene, params, cfg, corners, spp=k,
-                        samples_per_launch=k, accum=img, n0=n)
+                        samples_per_launch=k, accum=img, n0=n,
+                        direct_light=direct_light)
                     with self.lock:
                         self.accum = np.asarray(img)
                         self.n = float(n)

@@ -80,9 +80,9 @@ def spiral_tiles_py(grid_w: int, grid_h: int) -> Iterator[Tuple[int, int]]:
         y += grid_h // 2
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 9))
 def _tile_sample(scene, params, cfg: RenderConfig, tile_shape, corners,
-                 origin_xy, accum, n, sample):
+                 origin_xy, accum, n, sample, direct_light=False):
     """Render one sample of one tile and merge it into the accumulation
     buffer (running mean keyed by per-tile sample count n)."""
     th, tw = tile_shape
@@ -100,7 +100,8 @@ def _tile_sample(scene, params, cfg: RenderConfig, tile_shape, corners,
                jnp.broadcast_to(e.y, (th, tw)),
                jnp.broadcast_to(e.z, (th, tw)))
     channels = Vec3.full((th, tw), 1.0, 1.0, 1.0)
-    color = trace_rgb(scene, params, cfg, eye, d, px, py, sample, channels)
+    color = trace_rgb(scene, params, cfg, eye, d, px, py, sample, channels,
+                      direct_light)
 
     f1 = 1.0 / (n + 1.0)
     f2 = n / (n + 1.0)
@@ -116,13 +117,29 @@ class ProgressiveRenderer:
 
     The accumulation buffer is always a valid partial image — rendering can
     stop at any moment and be saved or checkpointed (Escape-to-cancel /
-    S-to-save parity, `Program.cpp:188-194,303-306`)."""
+    S-to-save parity, `Program.cpp:188-194,303-306`).
 
-    def __init__(self, scene, params, cfg: RenderConfig, corners):
+    `impl`: "oracle" = per-sample pure-XLA tiles (the CPU/testing path);
+    "fused" = each tile's full sample budget in ONE megakernel launch —
+    the reference's defining progressive-refinement UX on the ACTIVE
+    kernel (`Program.cpp:184-299` driving `RayMarch3.glsl`), at the
+    product kernel's rate instead of the oracle's.  "auto" picks fused on
+    TPU.  Both produce identical images (fused is bitwise-equal to the
+    full-frame fused render; oracle vs fused differ only at the known
+    FMA-contraction level between compilations)."""
+
+    def __init__(self, scene, params, cfg: RenderConfig, corners,
+                 impl: str = "auto", direct_light: bool = False,
+                 interpret: bool = False):
         self.scene = scene
         self.params = params
         self.cfg = cfg
         self.corners = corners
+        self.direct_light = direct_light
+        self.interpret = interpret
+        if impl == "auto":
+            impl = "fused" if jax.devices()[0].platform == "tpu" else "oracle"
+        self.impl = impl
         if cfg.width % cfg.grid_width or cfg.height % cfg.grid_height:
             raise ValueError("image size must be divisible by the tile grid "
                              "(reference integer-division behavior)")
@@ -135,17 +152,32 @@ class ProgressiveRenderer:
         th, tw = self.tile_shape
         return jnp.asarray([tx * tw, ty * th], jnp.int32)
 
+    def _merge_fused(self, origin, tile, n, k):
+        """Running mean over launch chunks: new = (old*n + tile*k)/(n+k)."""
+        th, tw = self.tile_shape
+        oy, ox = int(origin[1]), int(origin[0])
+        old = jax.lax.dynamic_slice(self.accum, (oy, ox, 0), (th, tw, 3))
+        new = (old * n + tile * k) / (n + k)
+        return jax.lax.dynamic_update_slice(self.accum, new, (oy, ox, 0))
+
     def render_pass(self, spp: int = None, callback=None):
         """Finite mode: every tile gets `spp` samples, spiral order."""
         cfg = self.cfg
         spp = cfg.spp if spp is None else spp
         for tx, ty in spiral_tiles(cfg.grid_width, cfg.grid_height):
             origin = self._tile_origin(tx, ty)
-            for s in range(spp):
-                self.accum = _tile_sample(
-                    self.scene, self.params, cfg, self.tile_shape,
-                    self.corners, origin, self.accum, jnp.float32(s),
-                    jnp.uint32(s))
+            if self.impl == "fused":
+                tile = render_fused_patch_for_tiles(
+                    self.scene, self.params, cfg, self.corners, origin,
+                    self.tile_shape, 0, spp, self.direct_light,
+                    self.interpret)
+                self.accum = self._merge_fused(origin, tile, 0.0, float(spp))
+            else:
+                for s in range(spp):
+                    self.accum = _tile_sample(
+                        self.scene, self.params, cfg, self.tile_shape,
+                        self.corners, origin, self.accum, jnp.float32(s),
+                        jnp.uint32(s), self.direct_light)
             if callback is not None:
                 callback(tx, ty, self.accum)
         self.pass_n = float(spp)
@@ -156,11 +188,41 @@ class ProgressiveRenderer:
         cfg = self.cfg
         for p in range(n_passes):
             for tx, ty in spiral_tiles(cfg.grid_width, cfg.grid_height):
-                self.accum = _tile_sample(
-                    self.scene, self.params, cfg, self.tile_shape,
-                    self.corners, self._tile_origin(tx, ty), self.accum,
-                    jnp.float32(self.pass_n), jnp.uint32(int(self.pass_n)))
+                origin = self._tile_origin(tx, ty)
+                if self.impl == "fused":
+                    tile = render_fused_patch_for_tiles(
+                        self.scene, self.params, cfg, self.corners, origin,
+                        self.tile_shape, int(self.pass_n), 1,
+                        self.direct_light, self.interpret)
+                    self.accum = self._merge_fused(origin, tile,
+                                                   self.pass_n, 1.0)
+                else:
+                    self.accum = _tile_sample(
+                        self.scene, self.params, cfg, self.tile_shape,
+                        self.corners, origin, self.accum,
+                        jnp.float32(self.pass_n),
+                        jnp.uint32(int(self.pass_n)), self.direct_light)
             self.pass_n += 1.0
             if callback is not None:
                 callback(p, self.accum)
         return self.accum
+
+
+def render_fused_patch_for_tiles(scene, params, cfg, corners, origin,
+                                 tile_shape, sample0, n_samples,
+                                 direct_light, interpret):
+    """All `n_samples` of one tile in ONE megakernel launch — the product
+    kernel under the interactive driver.  One compiled program per tile
+    SHAPE (`render_fused_patch` is jitted on static shape; the origin is
+    a dynamic argument), so the spiral walk reuses a single executable.
+    Bitwise-equal to the same pixels of a full-frame `render_fused`: the
+    RNG is keyed on absolute pixel coords and every per-lane value is
+    schedule-invariant (the megakernel's passes decide WHEN a lane is
+    shaded, never WHAT it computes), so the tile decomposition doesn't
+    touch the numbers (asserted in tests/test_tiles_fused.py)."""
+    from raymarchrenderer_tpu.kernels.march import render_fused_patch
+    return render_fused_patch(scene, params, cfg, corners, origin,
+                              tile_shape, jnp.uint32(sample0),
+                              n_samples=n_samples,
+                              direct_light=direct_light,
+                              interpret=interpret)
