@@ -291,13 +291,51 @@ def cmd_train(args) -> int:
             f"({cfg.height}, {cfg.width}, 3) — pass matching -W/-H")
     target = jnp.asarray(target)
 
-    if args.spectral:
-        raise SystemExit(
-            "train does not support --spectral: the gen-3 wavelength "
-            "transport has no differentiable path (band filters are "
-            "step functions of the drawn wavelength)")
     if args.steps < 1:
         raise SystemExit("--steps must be >= 1")
+
+    if args.spectral:
+        # spectral inverse rendering (round 4): the band filter is
+        # reparameterized — smooth-boxcar transmission + continuous
+        # wavelength draw (`spectral_integrator._apply_band_soft`) — so
+        # gradients reach the band-table rows (min/max/power) and the
+        # scene geometry; see train_step_spectral_sharded.
+        from raymarchrenderer_tpu.parallel.sharding import (
+            render_sharded_spectral, train_step_spectral_sharded)
+        from raymarchrenderer_tpu.render.spectral_integrator import (
+            band_table)
+        mats = band_table(scene)
+        interpret = jax.devices()[0].platform != "tpu"
+        mesh = make_mesh(auto_shard())
+        march_impl = "oracle" if args.impl == "oracle" else "fused"
+        with mesh:
+            params = render_replicated_params(scene, params, mesh)
+            for k in range(args.steps):
+                loss, params, mats = train_step_spectral_sharded(
+                    scene, params, mats, cfg, corners, target, mesh,
+                    spp=args.spp, lr=args.lr, march_impl=march_impl,
+                    interpret=interpret, sample0=k * args.spp)
+                if k % max(1, args.steps // 10) == 0 or k == args.steps - 1:
+                    print(f"step {k:4d} loss {float(loss):.6f}", flush=True)
+            img = render_sharded_spectral(scene, params, mats, cfg,
+                                          corners, mesh, spp=args.spp,
+                                          interpret=interpret)
+        jax.block_until_ready(img)
+        out = args.out or "output/fitted_params.npz"
+        if not out.endswith(".npz"):
+            out += ".npz"
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        leaves, _ = jax.tree.flatten(jax.device_get(params))
+        np.savez(out,
+                 band_min_wave=np.asarray(mats.min_wave),
+                 band_max_wave=np.asarray(mats.max_wave),
+                 band_power=np.asarray(mats.power),
+                 **{f"leaf{i}": np.asarray(l)
+                    for i, l in enumerate(leaves)})
+        png = os.path.splitext(out)[0] + ".png"
+        save_image(png, np.asarray(img))
+        print(f"saved {out} and {png} (final loss {float(loss):.6f})")
+        return 0
 
     interpret = jax.devices()[0].platform != "tpu"
     mesh = make_mesh(auto_shard())

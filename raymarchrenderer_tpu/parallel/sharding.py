@@ -283,6 +283,108 @@ def _train_step_fn(scene: Scene, cfg: RenderConfig, mesh: Mesh, spp: int,
                       check_vma=False))
 
 
+def train_step_spectral_sharded(scene: Scene, params, mats, cfg,
+                                corners, target, mesh: Mesh, spp: int,
+                                lr: float = 1e-2,
+                                lr_bands_nm: float = 3.0,
+                                march_impl: str = "oracle",
+                                soft_edge: float = 8.0,
+                                interpret: bool = False,
+                                sample0=0):
+    """One spectral inverse-rendering SGD step (round-4 `train --spectral`).
+
+    Same mesh layout as `train_step_sharded`, but the forward is the
+    differentiable gen-3 wavelength transport
+    (`spectral_integrator.render_patch_spp_spectral(differentiable=True)`:
+    reparameterized marches + smooth-boxcar band filters), and the fit
+    variables include the BAND TABLE — min/max wavelength and power per
+    material row (`kind` stays static) — alongside the scene params.
+
+    Band rows update by SIGN (`lr_bands_nm` nanometres per step, Rprop
+    family) rather than raw SGD: d(loss)/d(edge) spans orders of
+    magnitude across steps (the soft boxcar multiplies into every
+    interaction's power), and a single outlier gradient at a plain lr
+    was measured to catapult the edges out of the visible range.  The
+    bands are also clamped to [380, 830] nm (max ≥ min + 5) inside the
+    graph, so even a wild step renders sanely and the clamp's zero
+    gradient pulls nothing further out.  Returns
+    (loss, new_params, new_mats)."""
+    fn = _train_step_spectral_fn(scene, cfg, mesh, spp, march_impl,
+                                 float(soft_edge), interpret)
+    bands = (mats.min_wave, mats.max_wave, mats.power)
+    loss, new_params, new_bands = fn(params, bands, mats.kind, corners,
+                                     target, jnp.float32(lr),
+                                     jnp.float32(lr_bands_nm),
+                                     jnp.uint32(sample0))
+    from raymarchrenderer_tpu.render.spectral_integrator import (
+        SpectralMaterials)
+    return loss, new_params, SpectralMaterials(
+        new_bands[0], new_bands[1], new_bands[2], mats.kind)
+
+
+def _clamp_bands(minw, maxw, power):
+    minw = jnp.clip(minw, 380.0, 825.0)
+    maxw = jnp.clip(maxw, minw + 5.0, 830.0)
+    return minw, maxw, jnp.clip(power, 1e-4, None)
+
+
+@functools.lru_cache(maxsize=64)
+def _train_step_spectral_fn(scene: Scene, cfg: RenderConfig, mesh: Mesh,
+                            spp: int, march_impl: str, soft_edge: float,
+                            interpret: bool):
+    from raymarchrenderer_tpu.render.spectral_integrator import (
+        SpectralMaterials, render_patch_spp_spectral)
+
+    n_tile = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+    if cfg.height % n_tile or spp % n_spp:
+        raise ValueError("height/spp must divide the mesh axes")
+    rows_per = cfg.height // n_tile
+    spp_per = spp // n_spp
+    norm = jnp.float32(cfg.height * cfg.width * 3)
+
+    def shard_fn(params, bands, kind, corners, target, lr, lr_bands,
+                 sample0):
+        ti = lax.axis_index("tile")
+        si = lax.axis_index("spp")
+        origin = jnp.stack([jnp.int32(0), (ti * rows_per).astype(jnp.int32)])
+
+        def loss_fn(fit):
+            params_f, bands_f = fit
+            minw, maxw, power = _clamp_bands(*bands_f)
+            mats = SpectralMaterials(minw, maxw, power, kind)
+            # fresh Monte-Carlo batch per step (pass sample0 = k·spp):
+            # re-using one batch every step fits ITS noise, not the scene
+            s0 = sample0 + (si * spp_per).astype(jnp.uint32)
+            acc = render_patch_spp_spectral(
+                scene, params_f, mats, cfg, corners, origin,
+                (rows_per, cfg.width), s0, spp_per, differentiable=True,
+                march_impl=march_impl, soft_edge=soft_edge,
+                interpret=interpret)
+            img = lax.psum(acc.stack(-1), "spp") / jnp.float32(spp)
+            local = jnp.sum((img - target) ** 2)
+            return lax.psum(local, "tile") / norm
+
+        loss, grads = jax.value_and_grad(loss_fn)((params, bands))
+        grads = lax.psum(grads, ("tile", "spp"))
+        gp, (g_min, g_max, g_pow) = grads
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, gp)
+        # sign update for the nm-scaled rows, smaller sign step for the
+        # unitless power; zero gradient moves nothing (sign(0) == 0)
+        new_bands = _clamp_bands(
+            bands[0] - lr_bands * jnp.sign(g_min),
+            bands[1] - lr_bands * jnp.sign(g_max),
+            bands[2] - 0.01 * lr_bands * jnp.sign(g_pow))
+        return loss, new_params, new_bands
+
+    return jax.jit(
+        jax.shard_map(shard_fn, mesh=mesh,
+                      in_specs=(P(), P(), P(), P(), P("tile", None, None),
+                                P(), P(), P()),
+                      out_specs=(P(), P(), P()),
+                      check_vma=False))
+
+
 def train_loss_sharded(scene: Scene, params, cfg: RenderConfig, corners,
                        target, mesh: Mesh, spp: int,
                        direct_light: bool = False,

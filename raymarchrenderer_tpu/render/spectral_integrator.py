@@ -90,18 +90,66 @@ def _apply_band(wl, power, u, min_w, max_w, mat_p):
     return new_wl, new_power, absorbed
 
 
+def _apply_band_soft(wl, power, u, min_w, max_w, mat_p, edge):
+    """Differentiable band filter — the `train --spectral` path (round 4).
+
+    Two reparameterizations of `_apply_band`'s non-differentiable pieces:
+
+      * the unset-wavelength draw drops the 5 nm floor-binning:
+        wl = min + u·(max−min) — pathwise gradients ∂wl/∂min = 1−u and
+        ∂wl/∂max = u flow into the `wavelengthToColor` splat, so a band
+        EDGE moves to explain the image's hue;
+      * the binary absorb test becomes a smooth boxcar transmission
+        T = σ((wl−min)/edge)·σ((max−wl)/edge): power ×= p·T and the path
+        CONTINUES (T → 0 outside the band), so edges receive gradients
+        from every interaction instead of a measure-zero indicator.
+
+    As `edge → 0` both recover the hard filter (up to the 5 nm binning).
+    Returns (wl, power, absorbed=all-False) — the soft path never
+    terminates by absorption, it attenuates."""
+    sampled = min_w + u * (max_w - min_w)
+    unset = wl == 0.0
+    t_soft = (jax.nn.sigmoid((wl - min_w) / edge)
+              * jax.nn.sigmoid((max_w - wl) / edge))
+    new_wl = jnp.where(unset, sampled, wl)
+    new_power = power * mat_p * jnp.where(unset, 1.0, t_soft)
+    return new_wl, new_power, jnp.zeros(jnp.shape(wl), bool)
+
+
 def trace_spectral(scene: Scene, params, mats: SpectralMaterials,
                    cfg: RenderConfig, eye: Vec3, d0: Vec3, px, py, sample,
-                   profile: bool = False):
+                   profile: bool = False,
+                   differentiable: bool = False,
+                   march_impl: str = "oracle",
+                   soft_edge: float = 8.0,
+                   interpret: bool = False):
     """Gen-3 `trace` (`RayMarch3.glsl:347-444`), masked over the pixel batch.
 
     Returns (wavelength, power) per pixel.  `profile=True` (trace-time
     static) additionally returns per-lane work counters
     (segments marched, map evals in the march loops, hits shaded) — the
     measured numbers behind `bench.py`'s rays/s, using THIS loop, not a
-    restatement."""
+    restatement.
+
+    `differentiable=True` is the spectral inverse-rendering mode: marches
+    run through the reparameterized implicit-function adjoint
+    (`diff.march.march_diff[_fused]`, march_impl "oracle"/"fused") and
+    band filters through `_apply_band_soft` (smooth boxcar of width
+    `soft_edge` nm, continuous wavelength draw) — gradients reach the
+    scene geometry AND the band-table rows (min/max/power)."""
     shape = jnp.shape(d0.x)
     sky_min, sky_max, sky_p = 390.0, 830.0, jnp.float32(cfg.sky_power)
+    if differentiable:
+        from raymarchrenderer_tpu.diff.march import (march_diff,
+                                                     march_diff_fused)
+        if march_impl == "fused":
+            march_fn = functools.partial(march_diff_fused, scene, cfg,
+                                         interpret, params)
+        else:
+            march_fn = functools.partial(march_diff, scene, cfg, params)
+        band = functools.partial(_apply_band_soft, edge=soft_edge)
+    else:
+        band = _apply_band
 
     def body(b, st):
         if profile:
@@ -115,6 +163,8 @@ def trace_spectral(scene: Scene, params, mats: SpectralMaterials,
                                         active, with_steps=True)
             segs = segs + active.astype(jnp.int32)
             msteps = msteps + steps
+        elif differentiable:
+            t, mid, hitm = march_fn(o, d, ones, active)
         else:
             t, mid, hitm = march(scene, params, cfg, o, d, ones, active)
         hitp = o + d * t
@@ -130,16 +180,16 @@ def trace_spectral(scene: Scene, params, mats: SpectralMaterials,
             hits = hits + hit_active.astype(jnp.int32)
 
         # surface / emitter band filter
-        wl_h, pw_h, absorbed = _apply_band(wl, power, u, m_min, m_max, m_pow)
+        wl_h, pw_h, absorbed = band(wl, power, u, m_min, m_max, m_pow)
         # sky emitter on miss
-        wl_s, pw_s, absorbed_s = _apply_band(wl, power, u, sky_min, sky_max,
-                                             sky_p)
+        wl_s, pw_s, absorbed_s = band(wl, power, u, sky_min, sky_max, sky_p)
 
         new_wl = jnp.where(hit_active, wl_h, jnp.where(miss_active, wl_s, wl))
         new_power = jnp.where(hit_active, pw_h,
                               jnp.where(miss_active, pw_s, power))
 
-        # terminate: emitter hit, absorption, or any miss (sky terminates)
+        # terminate: emitter hit, absorption (hard mode — the soft filter
+        # attenuates instead of absorbing), or any miss (sky terminates)
         terminate = (hit_active & ((m_kind == 1) | absorbed)) | miss_active
         new_active = active & hitm & ~terminate
 
@@ -202,6 +252,44 @@ def render_spectral(scene: Scene, params, mats: SpectralMaterials,
         state = _spectral_step(scene, params, mats, cfg, corners, state,
                                jnp.uint32(s))
     return state[0], float(state[1])
+
+
+def render_patch_spp_spectral(scene: Scene, params, mats, cfg: RenderConfig,
+                              corners, origin_xy, patch_shape, sample0,
+                              n_samples: int,
+                              differentiable: bool = False,
+                              march_impl: str = "oracle",
+                              soft_edge: float = 8.0,
+                              interpret: bool = False) -> Vec3:
+    """All `n_samples` spectral samples of a patch in ONE batched trace —
+    the gen-3 twin of `render.integrator.render_patch_spp` (sample axis
+    folded into rows; returns the per-pixel RGB-splat SUM; the caller
+    normalizes).  With `differentiable=True` this is the spectral
+    training forward (see `trace_spectral`)."""
+    ph, pw = patch_shape
+    S = int(n_samples)
+    ox, oy = origin_xy[0], origin_xy[1]
+    row = jnp.arange(ph, dtype=jnp.int32)[None, :, None]
+    col = jnp.arange(pw, dtype=jnp.int32)[None, None, :]
+    sid = (jnp.asarray(sample0, jnp.uint32)
+           + jnp.arange(S, dtype=jnp.uint32)[:, None, None])
+    shape = (S * ph, pw)
+    py = jnp.broadcast_to(row + oy, (S, ph, pw)).reshape(shape)
+    px = jnp.broadcast_to(col + ox, (S, ph, pw)).reshape(shape)
+    sample = jnp.broadcast_to(sid, (S, ph, pw)).reshape(shape)
+    rng = RNGStream(cfg.seed, px, py, sample, jnp.uint32(1 << 20))
+    d = primary_rays(corners, px, py, cfg.width, cfg.height, rng)
+    e = eye_vec(corners)
+    eye = Vec3(jnp.broadcast_to(e.x, shape), jnp.broadcast_to(e.y, shape),
+               jnp.broadcast_to(e.z, shape))
+    wl, power = trace_spectral(scene, params, mats, cfg, eye, d, px, py,
+                               sample, differentiable=differentiable,
+                               march_impl=march_impl, soft_edge=soft_edge,
+                               interpret=interpret)
+    c = wavelength_to_rgb(wl) * power
+    return Vec3(c.x.reshape(S, ph, pw).sum(0),
+                c.y.reshape(S, ph, pw).sum(0),
+                c.z.reshape(S, ph, pw).sum(0))
 
 
 def default_band_table(scene: Scene) -> SpectralMaterials:

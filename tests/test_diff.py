@@ -494,3 +494,81 @@ def test_recorder_wavefront_banks_match_mega():
         assert frac < 5e-3, (k, frac)
     sd_frac = (np.asarray(a["sd"]) != np.asarray(b["sd"])).mean()
     assert sd_frac < 5e-3, sd_frac
+
+
+class TestSpectralDiff:
+    """Round-4 differentiable spectral transport: the band filter is
+    reparameterized (continuous wavelength draw + smooth-boxcar
+    transmission, `_apply_band_soft`), so gradients reach the band-table
+    rows.  FD-checked, and a band EDGE is recovered by SGD."""
+
+    def _setup(self):
+        from raymarchrenderer_tpu.render.spectral_integrator import (
+            band_table, spectral_demo)
+        scene, params, mats = spectral_demo()
+        cfg = RenderConfig(width=64, height=16, max_steps=48,
+                           max_bounces=3, max_dist=100.0)
+        corners = Camera(aspect=4.0).corner_rays_flat()
+        return scene, params, mats, cfg, corners
+
+    def test_band_gradient_fd(self):
+        """Analytic d(loss)/d(max_wave) matches central differences of the
+        soft-mode loss (CRN: fixed sample batch -> deterministic)."""
+        from raymarchrenderer_tpu.render.spectral_integrator import (
+            SpectralMaterials, render_patch_spp_spectral)
+        scene, params, mats, cfg, corners = self._setup()
+        origin = (jnp.int32(0), jnp.int32(0))
+
+        def loss(maxw):
+            m = SpectralMaterials(mats.min_wave,
+                                  mats.max_wave.at[2].set(maxw),
+                                  mats.power, mats.kind)
+            c = render_patch_spp_spectral(
+                scene, params, m, cfg, corners, origin, (16, 64),
+                jnp.uint32(3), 4, differentiable=True,
+                march_impl="oracle", soft_edge=12.0)
+            return jnp.mean(c.stack(-1) ** 2)
+
+        x0 = jnp.float32(590.0)
+        g = float(jax.grad(loss)(x0))
+        eps = 2.0
+        fd = (float(loss(x0 + eps)) - float(loss(x0 - eps))) / (2 * eps)
+        assert g != 0.0
+        assert abs(g - fd) <= 0.15 * max(abs(g), abs(fd)) + 1e-10, (g, fd)
+
+    def test_band_edge_recovery(self):
+        """SGD through the sharded spectral step recovers a band edge:
+        target rendered with the sphere band ending at 590 nm, fit
+        initialized at 680 nm must move most of the way back."""
+        from raymarchrenderer_tpu.parallel.sharding import (
+            ShardConfig, make_mesh, train_step_spectral_sharded)
+        from raymarchrenderer_tpu.render.spectral_integrator import (
+            SpectralMaterials, render_patch_spp_spectral)
+        scene, params, mats, cfg, corners = self._setup()
+        origin = (jnp.int32(0), jnp.int32(0))
+        tgt_sum = render_patch_spp_spectral(
+            scene, params, mats, cfg, corners, origin, (16, 64),
+            jnp.uint32(100), 32)
+        target = tgt_sum.stack(-1) / 32.0
+
+        fit = SpectralMaterials(mats.min_wave,
+                                mats.max_wave.at[2].set(680.0),
+                                mats.power, mats.kind)
+        mesh = make_mesh(ShardConfig(tile=2, spp=2))
+        start = float(fit.max_wave[2])
+        p = params
+        with mesh:
+            for k in range(35):
+                # fresh Monte-Carlo batch per step (sample0) — re-using
+                # one batch would fit its noise, not the band edge
+                loss, p, fit = train_step_spectral_sharded(
+                    scene, p, fit, cfg, corners, target, mesh, spp=8,
+                    lr=1e-3, lr_bands_nm=4.0, march_impl="oracle",
+                    sample0=1000 + k * 8)
+        end = float(fit.max_wave[2])
+        assert np.isfinite(float(loss))
+        # travelled most of the way 680 -> 590 and did not overshoot
+        # into the noise floor (measured trajectory: ~608 at step 35,
+        # ~600 at step 50)
+        assert end < start - 50.0, (start, end)
+        assert end > 540.0, end
