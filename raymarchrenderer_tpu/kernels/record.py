@@ -330,13 +330,12 @@ def _record_mega(scene: Scene, params, cfg: RenderConfig, corners, px, py,
                                   march_unroll=march_unroll,
                                   direct_light=direct_light,
                                   record_banks=True)
-        BS = B * S
-        for k in range(BS):
-            t_ref[k] = rec[k]
-            mid_ref[k] = rec[BS + k]
-            hit_ref[k] = rec[2 * BS + k]
-        for j in range(BS * L):
-            sd_ref[j] = rec[3 * BS + j]
+        # stacked banks: one copy per output ref (see mega._MegaState.rec)
+        t_ref[:] = rec[0]
+        mid_ref[:] = rec[1]
+        hit_ref[:] = rec[2]
+        if nee:
+            sd_ref[:] = rec[3]
 
     tile = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                         memory_space=pltpu.VMEM)

@@ -307,8 +307,12 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
         # recorded mode (`kernels.record.trace_record_fused`): the whole
         # forward trace already ran as ONE Pallas launch; every march and
         # shadow march is a bank lookup here, gradients attach via the
-        # shared implicit adjoint.  Requires `differentiable=True` and a
-        # statically-unrolled bounce loop (the bank index is trace-time).
+        # shared implicit adjoint.  Requires `differentiable=True`.  The
+        # replay runs as a lax.scan over bounces with the bank slices as
+        # scanned inputs (rec_b below) — a static unroll made the XLA
+        # graph (and its reverse-mode double) O(max_bounces · n_lights)
+        # and compiled in minutes at multi-chip dryrun shapes
+        # (docs/performance.md compile table).
         if recorded is None:
             raise ValueError("march_impl='recorded' needs recorded planes")
         if not differentiable:
@@ -316,23 +320,30 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
                              "use the fused kernel for plain rendering")
         from raymarchrenderer_tpu.diff.march import march_diff_recorded
 
-        def make_march_fn(b):
+        L = scene.n_lights
+
+        def make_march_fn(rec_b):
             def march_fn(o, d, dist_mult, active):
                 return march_diff_recorded(
                     scene, cfg, params, o, d, active,
-                    recorded["t"][b], recorded["mid"][b],
-                    recorded["hit"][b])
+                    rec_b["t"], rec_b["mid"], rec_b["hit"])
             return march_fn
 
-        L = scene.n_lights
-
-        def make_shadow_fn(b):
+        def make_shadow_fn(rec_b):
             from jax.ad_checkpoint import checkpoint_name
 
             def shadow_fn(o, d, m, a, tm, li):
-                sd = checkpoint_name(recorded["sd"][b * L + li], "shadow_t")
+                sd = checkpoint_name(rec_b["sd"][li], "shadow_t")
                 return sd, None, None
             return shadow_fn
+
+        def rec_slice(b):
+            """Bank slices for a STATIC bounce index (the bounce-0 peel)."""
+            out = {"t": recorded["t"][b], "mid": recorded["mid"][b],
+                   "hit": recorded["hit"][b]}
+            if "sd" in recorded:
+                out["sd"] = recorded["sd"][b * L:(b + 1) * L]
+            return out
     elif differentiable and march_impl == "fused":
         # TPU-fast differentiable render: forward march on the fused Pallas
         # kernel (per-tile early-out), backward via the shared implicit
@@ -357,11 +368,12 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
         def march_fn(o, d, dist_mult, active):
             return march(scene, params, cfg, o, d, dist_mult, active)
 
-    def body(b, st: _TraceState):
+    def body(b, st: _TraceState, rec_b=None):
         dist_mult = 1.0 - 2.0 * st.inside
         active_b = st.active > 0
         if march_impl == "recorded":
-            t, mid, hitm = make_march_fn(b)(st.o, st.d, dist_mult, active_b)
+            t, mid, hitm = make_march_fn(rec_b)(st.o, st.d, dist_mult,
+                                                active_b)
         else:
             t, mid, hitm = march_fn(st.o, st.d, dist_mult, active_b)
         hitp = st.o + st.d * t
@@ -396,7 +408,7 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
 
         extra = st.extra
         if direct_light and scene.n_lights:
-            sm = (make_shadow_fn(b) if march_impl == "recorded"
+            sm = (make_shadow_fn(rec_b) if march_impl == "recorded"
                   else shadow_march_fn)
             extra = extra + _direct_light(
                 scene, params, cfg, hitp, normal, st.color, s.color,
@@ -434,14 +446,42 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
     # (splat-constant) initial carries into the concrete layouts the body
     # yields, so the loop must start from an already-computed state.
     # Semantically identical (bounce 0 always runs — every ray starts active).
-    st0 = body(0, init)
     if march_impl == "recorded":
-        # static unroll: the bank index b must be trace-time (and the
-        # whole replay is elementwise — no loop to save)
-        out = st0
-        for b in range(1, cfg.max_bounces):
-            out = body(b, out)
-    elif differentiable:
+        st0 = body(0, init, rec_slice(0))
+        B = cfg.max_bounces
+        n_l = L if direct_light else 0
+        # Hybrid replay schedule, both measured (docs/performance.md
+        # compile table + train bench):
+        #   * UNROLL for small B·L: XLA fuses the whole shade chain
+        #     across bounces — best runtime (the 52.7 Mpix·spp/s train
+        #     step), and the graph is still small;
+        #   * SCAN above the knee: the unrolled graph (and its
+        #     reverse-mode double) is O(B·L) and compiled in minutes at
+        #     dryrun shapes (B=16: 68 s; B=8,L=2: 132 s — scan: ~5 s /
+        #     ~20 s), while scan pays ~7% runtime in carry round-trips.
+        if B * (1 + n_l) < 12:
+            out = st0
+            for b in range(1, B):
+                out = body(b, out, rec_slice(b))
+        else:
+            # bank slices ride the scan xs; the bounce index is traced
+            # (the RNG hash and the RR gate are elementwise in it)
+            xs = {"b": jnp.arange(1, B, dtype=jnp.int32),
+                  "t": recorded["t"][1:], "mid": recorded["mid"][1:],
+                  "hit": recorded["hit"][1:]}
+            if "sd" in recorded:
+                sd_shape = recorded["sd"].shape
+                xs["sd"] = recorded["sd"].reshape(B, L, *sd_shape[1:])[1:]
+
+            def scan_body(st, x):
+                return body(x["b"], st, x), None
+
+            out, _ = lax.scan(scan_body, st0, xs)
+        if defer_sky:
+            return out.color + out.extra, out.miss_thr, out.miss_dir
+        return out.color + out.extra
+    st0 = body(0, init)
+    if differentiable:
         # reverse-mode needs a statically-bounded loop (while_loop has no
         # transpose rule)
         out = lax.fori_loop(1, cfg.max_bounces, body, st0)

@@ -112,10 +112,15 @@ class _MegaState(NamedTuple):
     resume: jax.Array = None   # int32 state to resume after the shadows
     li: jax.Array = None       # int32 current light index
     sh_store: tuple = ()       # ((d, tmax, contrib), ...) for lights 1..
-    # record-mode banks (record_banks=True, n_samples==1): flat tuple
-    # (t[0..B-1], mid[0..B-1], hit[0..B-1], sd[0..B*L-1]) of per-lane
-    # planes — the per-bounce march residuals the differentiable replay
-    # consumes (`kernels.record.trace_record_fused(mode="mega")`)
+    # record-mode banks (record_banks=True): STACKED carries
+    # (t (B·S, h, w) f32, mid i32, hit i32[, sd (B·S·L, h, w) f32]) — the
+    # per-(bounce, sample) march residuals the differentiable replay
+    # consumes (`kernels.record.trace_record_fused(mode="mega")`).
+    # Stacked (not one plane carry per slot) so the while_loop carry
+    # count and the per-pass write graph are O(1) in B·S·L — the round-3
+    # per-slot select chains compiled in minutes on XLA:CPU at the
+    # dryrun shape.  defer_sky mode still uses the flat per-path tuple
+    # (4 planes per path slot).
     rec: tuple = ()
 
 
@@ -311,18 +316,21 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
             # keep the init values (t=max_dist, mid=-1, hit=0), which are
             # exactly what the oracle march returns for missed / inactive
             # lanes, so the replay is residual-complete.
+            # STACKED banks ((BS, h, w) carries, one-hot broadcast write):
+            # the round-3 per-slot select chains threaded 3·B·S separate
+            # plane carries through the while_loop — O(B·S) graph per pass
+            # and a measured minutes-class XLA:CPU compile at the dryrun
+            # shape.  Same elementwise work, O(1) graph (docs/performance).
             S = n_paths
-            BS = B * S
-            rec = list(st.rec)
-            for b_ in range(B):
-                bsel = waiting & (st.bounce == b_)
-                for s_ in range(S):
-                    selk = bsel & (st.s_idx == s_) if S > 1 else bsel
-                    k = b_ * S + s_
-                    rec[k] = jnp.where(selk, st.t, rec[k])
-                    rec[BS + k] = jnp.where(selk, mid, rec[BS + k])
-                    rec[2 * BS + k] = jnp.where(selk, 1, rec[2 * BS + k])
-            st = st._replace(rec=tuple(rec))
+            t_bank, mid_bank, hit_bank = st.rec[0], st.rec[1], st.rec[2]
+            slot = st.bounce * S + st.s_idx if S > 1 else st.bounce
+            kk = lax.broadcasted_iota(jnp.int32, t_bank.shape, 0)
+            sel = waiting[None] & (slot[None] == kk)
+            t_bank = jnp.where(sel, st.t[None], t_bank)
+            mid_bank = jnp.where(sel, mid[None], mid_bank)
+            hit_bank = jnp.where(sel, 1, hit_bank)
+            st = st._replace(rec=(t_bank, mid_bank, hit_bank)
+                             + tuple(st.rec[3:]))
         normal = get_normal(scene, params, cfg, hitp)
         _, s_id = lane_streams(st.s_idx)
         rng = RNGStream(cfg.seed, px, py, s_id, st.bounce)
@@ -417,23 +425,17 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
             # bank the resolved visibility (saturated — ulp-proof against
             # the replay re-deriving dist_l, see kernels/record.py) at the
             # (bounce, sample, light) slot; st.bounce was already
-            # incremented by the staging shade pass.
+            # incremented by the staging shade pass.  Stacked one-hot
+            # write like shade's (see there).
             S = n_paths
-            BS = B * S
-            rec = list(st.rec)
-            b_idx = st.bounce - 1
-            for b_ in range(B):
-                for s_ in range(S):
-                    bs = parked & (b_idx == b_)
-                    if S > 1:
-                        bs = bs & (st.s_idx == s_)
-                    for lk in range(L):
-                        sel = bs & (st.li == lk)
-                        slot = 3 * BS + (b_ * S + s_) * L + lk
-                        rec[slot] = jnp.where(
-                            sel, jnp.where(lit, jnp.float32(3.4e38),
-                                           jnp.float32(0.0)), rec[slot])
-            st = st._replace(rec=tuple(rec))
+            sd_bank = st.rec[3]
+            slot = ((st.bounce - 1) * S + st.s_idx) * L + st.li \
+                if S > 1 else (st.bounce - 1) * L + st.li
+            kk = lax.broadcasted_iota(jnp.int32, sd_bank.shape, 0)
+            sel = parked[None] & (slot[None] == kk)
+            val = jnp.where(lit, jnp.float32(3.4e38), jnp.float32(0.0))
+            sd_bank = jnp.where(sel, val[None], sd_bank)
+            st = st._replace(rec=tuple(st.rec[:3]) + (sd_bank,))
         extra = Vec3(st.extra.x + jnp.where(lit, st.contrib.x, 0.0),
                      st.extra.y + jnp.where(lit, st.contrib.y, 0.0),
                      st.extra.z + jnp.where(lit, st.contrib.z, 0.0))
@@ -635,15 +637,16 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
             sh_store=tuple((Vec3.zeros(shape), zero, Vec3.zeros(shape))
                            for _ in range(scene.n_lights - 1)))
     if record_banks:
-        # defaults = the oracle march's missed/inactive-lane returns
+        # defaults = the oracle march's missed/inactive-lane returns;
+        # stacked (BS, h, w) bank carries (see shade's record branch)
         BS = B * n_paths
-        init = init._replace(rec=(
-            tuple(jnp.full(shape, cfg.max_dist, jnp.float32)
-                  for _ in range(BS))
-            + tuple(jnp.full(shape, -1, jnp.int32) for _ in range(BS))
-            + tuple(jnp.zeros(shape, jnp.int32) for _ in range(BS))
-            + tuple(jnp.full(shape, 3.4e38, jnp.float32)
-                    for _ in range(BS * L))))
+        banks = (jnp.full((BS,) + shape, cfg.max_dist, jnp.float32),
+                 jnp.full((BS,) + shape, -1, jnp.int32),
+                 jnp.zeros((BS,) + shape, jnp.int32))
+        if L:
+            banks = banks + (jnp.full((BS * L,) + shape, 3.4e38,
+                                      jnp.float32),)
+        init = init._replace(rec=banks)
     if defer_sky:
         # (thr.xyz f32, packed-uv i32) miss-event banks, one slot per
         # path; thr=0 marks a dead slot (path ended on a hit/emitter)
