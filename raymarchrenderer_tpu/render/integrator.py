@@ -452,14 +452,16 @@ def trace_rgb(scene: Scene, params, cfg: RenderConfig, eye: Vec3, d0: Vec3,
         n_l = L if direct_light else 0
         # Hybrid replay schedule, both measured (docs/performance.md
         # compile table + train bench):
-        #   * UNROLL for small B·L: XLA fuses the whole shade chain
-        #     across bounces — best runtime (the 52.7 Mpix·spp/s train
-        #     step), and the graph is still small;
-        #   * SCAN above the knee: the unrolled graph (and its
-        #     reverse-mode double) is O(B·L) and compiled in minutes at
-        #     dryrun shapes (B=16: 68 s; B=8,L=2: 132 s — scan: ~5 s /
-        #     ~20 s), while scan pays ~7% runtime in carry round-trips.
-        if B * (1 + n_l) < 12:
+        #   * UNROLL only for the no-NEE small-B case — the train-bench
+        #     default — where XLA's cross-bounce fusion is a measured
+        #     ~7% runtime win (52.5 vs 49.1 Mpix·spp/s) and the graph
+        #     stays small;
+        #   * SCAN everywhere else: the unrolled graph (and its
+        #     reverse-mode double) is O(B·L·scene-size) and compiles in
+        #     minutes off the small case (B=16: 68 s; B=8,L=2: 132 s;
+        #     B=4,L=1 on the CSG dryrun scene: 421 s — scan: ~5–20 s),
+        #     while scan pays ~7% runtime in carry round-trips.
+        if n_l == 0 and B <= 4:
             out = st0
             for b in range(1, B):
                 out = body(b, out, rec_slice(b))
