@@ -16,7 +16,7 @@ reference's ACTIVE kernel is the gen-3 spectral tracer, and the spectral
 megakernel's smaller lane state also makes it the fastest path; rgb runs
 the gen-1/gen-2-style RGB-throughput transport over the same geometry),
 BENCH_IMPL=oracle|pallas (default pallas on TPU), BENCH_RELAX (default
-1.9 — safeguarded over-relaxed sphere tracing; set 0 for the reference's
+2.0 — safeguarded over-relaxed sphere tracing; set 0 for the reference's
 classic stepMultiply=0.5 march), BENCH_NORMAL_TAPS (default 4 —
 tetrahedron stencil, the measured optimum on this cheap scene map; 0 =
 exact ∇map via one vjp sweep, 6 = reference-parity central differences).  The accelerated march/normals
@@ -45,7 +45,7 @@ def main():
     from raymarchrenderer_tpu.render.config import RenderConfig
     from raymarchrenderer_tpu.scene.builtin import sphere_on_floor
 
-    relax = float(os.environ.get("BENCH_RELAX", "1.9"))
+    relax = float(os.environ.get("BENCH_RELAX", "2.0"))
     taps = int(os.environ.get("BENCH_NORMAL_TAPS", "4"))
     mode = os.environ.get("BENCH_MODE", "spectral")
     # the workload knobs below only exist on the RGB transport — fail
