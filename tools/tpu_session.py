@@ -56,10 +56,13 @@ def stage_parity():
     oracle = np.asarray(render_sample(scene, params, cfg, corners,
                                       jnp.uint32(3)).stack(-1))
     rep = {"platform": jax.devices()[0].platform, "size": [256, 64]}
+    # the BITWISE claim is the strict schedule's (lazy_miss is the
+    # documented O(rare-lane) trade — the r4 entry below measures it)
     for mode in ("mega", "wavefront"):
         fused = np.asarray(render_fused(scene, params, cfg, corners,
                                         jnp.uint32(3), n_samples=1,
-                                        mode=mode))
+                                        mode=mode, lazy_miss=False,
+                                        regen_cadence=16))
         d = np.abs(oracle - fused)
         rep[mode] = {
             "bitwise_equal": bool((d == 0).all()),
@@ -68,13 +71,14 @@ def stage_parity():
         }
         log(f"parity {mode}: bitwise={rep[mode]['bitwise_equal']} "
             f"max={rep[mode]['max_abs_diff']:.3e}")
-    # relaxed-march production config too (the bench path)
-    cfgr = cfg.replace(relax_omega=1.9, normal_taps=4)
+    # relaxed-march production config (the bench path), strict schedule
+    cfgr = cfg.replace(relax_omega=2.0, normal_taps=4)  # round-4 default
     oracle_r = np.asarray(render_sample(scene, params, cfgr, corners,
                                         jnp.uint32(3)).stack(-1))
     fused_r = np.asarray(render_fused(scene, params, cfgr, corners,
                                       jnp.uint32(3), n_samples=1,
-                                      mode="mega"))
+                                      mode="mega", lazy_miss=False,
+                                      regen_cadence=16))
     dr = np.abs(oracle_r - fused_r)
     rep["mega_relaxed"] = {
         "bitwise_equal": bool((dr == 0).all()),
@@ -82,6 +86,23 @@ def stage_parity():
         "frac_pixels_differing": float((dr.max(-1) > 0).mean()),
     }
     log(f"parity mega_relaxed: bitwise={rep['mega_relaxed']['bitwise_equal']}")
+    # round-4 production schedule (lazy_miss on): measured divergence —
+    # rays at the step-budget/max_dist shell only (this 96-step config
+    # binds the budget far harder than the 512-step bench default, so
+    # this is the knob's worst case on this scene)
+    fused_l = np.asarray(render_fused(scene, params, cfgr, corners,
+                                      jnp.uint32(3), n_samples=1,
+                                      mode="mega"))
+    dl = np.abs(oracle_r - fused_l)
+    rep["mega_r4_schedule_lazy_miss"] = {
+        "bitwise_equal": bool((dl == 0).all()),
+        "max_abs_diff": float(dl.max()),
+        "frac_pixels_differing": float((dl.max(-1) > 0).mean()),
+        "note": "lazy_miss trade class (docs/performance.md): strict "
+                "schedule above is the bitwise-parity mode",
+    }
+    log(f"parity mega_r4_schedule: "
+        f"frac={rep['mega_r4_schedule_lazy_miss']['frac_pixels_differing']:.2e}")
     os.makedirs("output", exist_ok=True)
     with open("output/tpu_parity.json", "w") as f:
         json.dump(rep, f, indent=2)
