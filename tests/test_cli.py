@@ -59,3 +59,18 @@ def test_render_subcommand_writes_image(tmp_path):
     img = load_png(str(out))
     assert img.shape == (32, 32, 3)
     assert np.isfinite(img).all()
+
+
+def test_module_entry_propagates_exit_codes():
+    """`python -m raymarchrenderer_tpu.app` must propagate verb exit codes
+    (round-4 fix: a bare main() call swallowed them — parity gate
+    failures exited 0)."""
+    import subprocess
+    import sys
+    src = open(__import__("raymarchrenderer_tpu.app.__main__",
+                          fromlist=["__file__"]).__file__).read()
+    assert "sys.exit(main())" in src
+    r = subprocess.run([sys.executable, "-m", "raymarchrenderer_tpu.app",
+                        "definitely-not-a-verb"],
+                       capture_output=True, text=True)
+    assert r.returncode == 2  # argparse error must surface
