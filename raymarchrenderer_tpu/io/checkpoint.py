@@ -59,7 +59,12 @@ def save_checkpoint(path: str, accum, n: float, cfg: RenderConfig,
     if scene_digest is not None:
         arrays["scene_digest"] = np.frombuffer(
             scene_digest.encode(), dtype=np.uint8)
-    np.savez_compressed(path, **arrays)
+    # write through a file object: np.savez_compressed(str_path) silently
+    # appends ".npz", so `--checkpoint render.ckpt` would save to
+    # render.ckpt.npz and `--resume` (which stats the exact path) would
+    # never find it
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **arrays)
 
 
 def load_checkpoint(path: str,

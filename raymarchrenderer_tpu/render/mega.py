@@ -202,7 +202,11 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
     if record_banks and (lazy_miss or regen_cadence):
         raise ValueError("record_banks keeps the strict schedule "
                          "(lazy_miss/regen_cadence are render-only knobs)")
-    if regen_cadence and march_unroll % regen_cadence:
+    if (regen_cadence and regen_cadence < march_unroll
+            and march_unroll % regen_cadence):
+        # cadence >= unroll simply means "no mid-chunk pass" (body() only
+        # splits when regen_cadence < march_unroll), so a caller overriding
+        # the unroll below the default cadence is fine
         raise ValueError("regen_cadence must divide march_unroll")
     B = cfg.max_bounces
     L = scene.n_lights if nee else 0
@@ -246,6 +250,13 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
             # carries only the hit test
             thr = st.thr
             if nee:
+                # a shadow segment past its light (t >= seg_tmax) must NOT
+                # occlude: without the strict per-step miss test the lane
+                # keeps marching up to regen_cadence-1 extra steps and can
+                # reach geometry BEHIND the light — a deterministic darkening
+                # bias, not noise.  Mask those hits; mark_misses parks the
+                # lane as _SH_LIT at the cadence boundary (t already >= tmax).
+                is_hit = is_hit & (~shadow | (st.t < tmax))
                 state = jnp.where(is_hit,
                                   jnp.where(shadow, _SH_OCC, _WAIT),
                                   st.state)
@@ -757,7 +768,11 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
     s0 = jnp.asarray(sample0).astype(jnp.uint32)
     sky_min, sky_max, sky_p = 390.0, 830.0, jnp.float32(cfg.sky_power)
     relax = cfg.relax_omega > 1.0
-    if regen_cadence and march_unroll % regen_cadence:
+    if (regen_cadence and regen_cadence < march_unroll
+            and march_unroll % regen_cadence):
+        # cadence >= unroll simply means "no mid-chunk pass" (body() only
+        # splits when regen_cadence < march_unroll), so a caller overriding
+        # the unroll below the default cadence is fine
         raise ValueError("regen_cadence must divide march_unroll")
 
     def primary(s_idx):

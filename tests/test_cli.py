@@ -74,3 +74,53 @@ def test_module_entry_propagates_exit_codes():
                         "definitely-not-a-verb"],
                        capture_output=True, text=True)
     assert r.returncode == 2  # argparse error must surface
+
+
+def test_render_resume_scene_mismatch(tmp_path):
+    """CLI-written checkpoints must carry the scene digest so that resuming
+    with a DIFFERENT scene refuses (`SceneMismatchError`) instead of
+    silently blending two scenes' accumulators (round-4 advisor finding:
+    cmd_render computed the digest but never passed it to
+    save_checkpoint, leaving the guard inert end-to-end)."""
+    import pytest
+
+    from raymarchrenderer_tpu.app import cli
+    from raymarchrenderer_tpu.io.checkpoint import SceneMismatchError
+
+    ck = tmp_path / "render.ckpt"
+    common = ["--width", "32", "--height", "32", "--spp", "1",
+              "--max-steps", "64", "--max-bounces", "2",
+              "--checkpoint", str(ck)]
+    rc = cli.main(["render", "--scene", "sphere_on_floor",
+                   "--out", str(tmp_path / "a.png")] + common)
+    assert rc == 0
+    assert ck.exists()
+    with pytest.raises(SceneMismatchError):
+        cli.main(["render", "--scene", "cornell", "--resume",
+                  "--out", str(tmp_path / "b.png")] + common)
+    # same scene resumes fine
+    rc = cli.main(["render", "--scene", "sphere_on_floor", "--resume",
+                   "--spp", "2", "--out", str(tmp_path / "c.png")] + common[:4]
+                  + common[6:])
+    assert rc == 0
+
+
+def test_pick_impl_fused_for_any_size_on_tpu(monkeypatch):
+    """Round-4 verdict: the fused path pads-and-crops arbitrary frame
+    sizes, so impl selection must not re-impose tile divisibility — the
+    reference's own 1280x720 window (Program.cpp:90) silently rendered on
+    the ~75x slower oracle before this fix."""
+    import types
+
+    import jax
+
+    from raymarchrenderer_tpu.app import cli
+
+    fake_dev = types.SimpleNamespace(platform="tpu")
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [fake_dev])
+    args = argparse.Namespace(impl="auto", width=1280, height=720)
+    assert cli._pick_impl(args, None) == "fused"
+    args = argparse.Namespace(impl="auto", width=333, height=17)
+    assert cli._pick_impl(args, None) == "fused"
+    args = argparse.Namespace(impl="oracle", width=1280, height=720)
+    assert cli._pick_impl(args, None) == "oracle"

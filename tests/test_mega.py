@@ -317,6 +317,41 @@ class TestRound4ScheduleKnobs:
                          lazy_miss=True, regen_cadence=4)
         assert (np.abs(lazy - base) > 1e-4).mean() < 1e-3
 
+    def test_nee_lazy_enclosed_no_bias(self):
+        """Round-4 advisor HIGH regression: with lazy_miss, a shadow
+        segment could march past its light for up to regen_cadence-1 steps
+        and hit geometry BEHIND it (the ceiling here), flipping to _SH_OCC
+        — a deterministic darkening of direct light, not noise.  The open
+        scene in test_nee_cadence_bitwise cannot catch this; an enclosed
+        room with the ceiling just past the light does."""
+        from raymarchrenderer_tpu.scene.builtin import SceneBuilder
+        b = SceneBuilder()
+        m = b.diffuse([0.7, 0.7, 0.7])
+        b.box(m, [0, -0.05, 0], [8, 0.05, 8])     # floor
+        b.box(m, [0, 5.05, 0], [8, 0.05, 8])      # ceiling behind the light
+        b.light([0, 2.0, 0], 40.0, 0.1)
+        scene = b.build()
+        corners = Camera(aspect=1.0).corner_rays_flat()
+        cfg = CFG.replace(max_bounces=2)
+        px, py = pixel_grid(cfg.width, cfg.height)
+        ch = Vec3.full((cfg.height, cfg.width), 1.0, 1.0, 1.0)
+        params = scene.init_params()
+
+        def run(**kw):
+            return np.asarray(mega.trace_mega_paths(
+                scene, params, cfg, corners, px, py, jnp.uint32(1), ch,
+                n_samples=2, direct_light=True, march_unroll=16,
+                **kw).stack(-1))
+
+        base = run()
+        # pre-fix this measured 7% of pixels darker (mean 1.40 -> 1.22,
+        # max abs diff 4.9) at the production cadence of 16
+        lazy = run(lazy_miss=True, regen_cadence=16)
+        d = np.abs(lazy - base)
+        assert (d > 1e-4).mean() < 1e-3, (
+            float(d.max()), float((d > 1e-4).mean()))
+        assert float(lazy.mean()) >= float(base.mean()) - 1e-4
+
     def test_spectral_cadence_bitwise(self):
         from raymarchrenderer_tpu.render.raygen import pixel_grid as pg
         from raymarchrenderer_tpu.render.spectral_integrator import (
