@@ -117,9 +117,12 @@ def _pick_impl(args, scene):
     if args.impl != "auto":
         return args.impl
     on_tpu = jax.devices()[0].platform == "tpu"
-    # env-map scenes are fused too (deferred-sky wavefront kernel)
-    ok = args.width % 128 == 0 and args.height % 32 == 0
-    return "fused" if (on_tpu and ok) else "oracle"
+    # env-map scenes are fused too (deferred-sky wavefront kernel), and
+    # render_fused_patch pads-and-crops arbitrary frame sizes to the
+    # (32,128) lane tile since round 3 (kernels/march.py) — no divisibility
+    # gate: the reference's own 1280x720 window (Program.cpp:90) must run
+    # fused, not fall to the ~75x slower oracle
+    return "fused" if on_tpu else "oracle"
 
 
 def cmd_render(args) -> int:
@@ -147,7 +150,12 @@ def cmd_render(args) -> int:
         # refuses (SceneMismatchError) when the checkpoint was produced by
         # a different scene — resuming would blend two scenes' images
         st = load_checkpoint(args.checkpoint, expect_scene_digest=digest)
-        accum, n0, cfg = jnp.asarray(st.accum), st.n, st.cfg
+        # geometry/seed come from the checkpoint (the accumulator's shape
+        # and RNG stream are bound to them) but the spp TARGET is the
+        # caller's: `--resume --spp 256` extends a finished 128-spp render
+        # instead of silently rendering zero new samples
+        accum, n0, cfg = jnp.asarray(st.accum), st.n, st.cfg.replace(
+            spp=cfg.spp)
         print(f"resuming at {n0:.0f} spp from {args.checkpoint}")
 
     impl = _pick_impl(args, scene)
@@ -179,7 +187,7 @@ def cmd_render(args) -> int:
         def spectral_cb(s, state):
             if args.checkpoint:
                 save_checkpoint(args.checkpoint, np.asarray(state[0]),
-                                float(state[1]), cfg)
+                                float(state[1]), cfg, scene_digest=digest)
             el = time.perf_counter() - t0
             print(f"  {s}/{cfg.spp} spp "
                   f"({(s - n0) / max(el, 1e-9):.2f} spp/s)", flush=True)
@@ -207,7 +215,8 @@ def cmd_render(args) -> int:
                 accum=img, n0=float(done))
             done += k
             if args.checkpoint:
-                save_checkpoint(args.checkpoint, np.asarray(img), n, cfg)
+                save_checkpoint(args.checkpoint, np.asarray(img), n, cfg,
+                                scene_digest=digest)
             el = time.perf_counter() - t0
             print(f"  {done}/{cfg.spp} spp  "
                   f"({done / max(el, 1e-9):.2f} spp/s)", flush=True)
@@ -215,7 +224,7 @@ def cmd_render(args) -> int:
         def cb(s, state):
             if args.checkpoint and (s + 1) % args.chunk == 0:
                 save_checkpoint(args.checkpoint, np.asarray(state[0]),
-                                float(state[1]), cfg)
+                                float(state[1]), cfg, scene_digest=digest)
             if (s + 1) % args.chunk == 0:
                 el = time.perf_counter() - t0
                 print(f"  {s + 1 - int(n0)}/{spp_left} spp "
@@ -241,7 +250,8 @@ def cmd_render(args) -> int:
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     save_image(out, np.asarray(img))
     if args.checkpoint:
-        save_checkpoint(args.checkpoint, np.asarray(img), n, cfg)
+        save_checkpoint(args.checkpoint, np.asarray(img), n, cfg,
+                        scene_digest=digest)
     print(f"saved {out}")
     return 0
 

@@ -64,7 +64,11 @@ canvas { position: absolute; image-rendering: pixelated; }
     direct light (NEE soft shadows)</label>
   <button id="render">Render</button>
   <button id="stop" class="stop">Stop</button>
+  <button id="camreset">Reset camera</button>
   <div id="status">idle</div>
+  <div style="margin-top:10px;font-size:11px;color:#889">
+    drag: pan canvas · wheel: zoom canvas<br>
+    shift-drag: orbit · ctrl-drag: pan camera · ctrl-wheel: dolly</div>
 </div>
 <div id="view"><canvas id="cv"></canvas></div>
 <script>
@@ -73,12 +77,25 @@ let zoom = 1, ox = 20, oy = 20, drag = null, lastN = -1;
 function place() { cv.style.transform = `scale(${zoom})`;
   cv.style.transformOrigin = '0 0';
   cv.style.left = ox + 'px'; cv.style.top = oy + 'px'; }
-view.onmousedown = e => { drag = [e.clientX - ox, e.clientY - oy]; };
+let camdrag = null;
+const camOp = o => fetch('api/camera',
+  { method: 'POST', body: JSON.stringify(o) }).then(() => lastN = -1);
+view.onmousedown = e => {
+  if (e.shiftKey || e.ctrlKey) { camdrag = [e.clientX, e.clientY, e.ctrlKey]; }
+  else { drag = [e.clientX - ox, e.clientY - oy]; } };
 window.onmousemove = e => { if (drag) { ox = e.clientX - drag[0];
   oy = e.clientY - drag[1]; place(); } };
-window.onmouseup = () => drag = null;
+window.onmouseup = e => {
+  if (camdrag) {  // one op per gesture: each op restarts the accumulation
+    const dx = e.clientX - camdrag[0], dy = e.clientY - camdrag[1];
+    if (camdrag[2]) camOp({ op: 'pan', dx: -dx * 0.01, dy: dy * 0.01 });
+    else camOp({ op: 'orbit', ax: -dx * 0.005, ay: -dy * 0.005 });
+    camdrag = null; }
+  drag = null; };
 view.onwheel = e => { e.preventDefault();
-  zoom *= Math.pow(1.1, -Math.sign(e.deltaY)); place(); };
+  if (e.ctrlKey) { camOp({ op: 'zoom', amount: -Math.sign(e.deltaY) * 0.5 }); }
+  else { zoom *= Math.pow(1.1, -Math.sign(e.deltaY)); place(); } };
+document.getElementById('camreset').onclick = () => camOp({ op: 'reset' });
 async function refresh() {
   const st = await (await fetch('api/state')).json();
   document.getElementById('status').textContent =
@@ -128,6 +145,8 @@ class ViewerState:
         self.rendering = False
         self.error = ""
         self.scene_dirs = scene_dirs
+        self.camera = None         # persistent interactive pose
+        self._last_req = {}        # re-rendered on camera ops
         self._cancel = threading.Event()
         self._thread = None
 
@@ -146,10 +165,47 @@ class ViewerState:
     # -- render control ------------------------------------------------------
     def start(self, req: dict):
         self.stop()
+        self._last_req = dict(req)
         self._cancel.clear()
+        with self.lock:
+            # mark the restart SYNCHRONOUSLY: the worker thread takes a
+            # while to import jax and reset the buffer, and a client that
+            # polls /api/state in that window must not see the previous
+            # render's finished (n, rendering=False) as if it were this one
+            self.rendering = True
+            self.n = 0.0
         self._thread = threading.Thread(
             target=self._run, args=(req,), daemon=True)
         self._thread.start()
+
+    # -- interactive camera (Camera.cpp:104-137: the reference wired
+    # zoom/pan/orbit ops; its input handling was commented out — here they
+    # are a product surface: each op mutates the persistent pose and
+    # restarts the progressive accumulation at 0 spp) --------------------
+    def camera_op(self, op: dict) -> dict:
+        from raymarchrenderer_tpu.core.camera import Camera
+        with self.lock:
+            if self.camera is None:
+                self.camera = Camera()
+            cam = self.camera
+            kind = op.get("op", "")
+            if kind == "orbit":
+                cam.orbit(float(op.get("ax", 0.0)), float(op.get("ay", 0.0)))
+            elif kind == "pan":
+                cam.pan(float(op.get("dx", 0.0)), float(op.get("dy", 0.0)))
+            elif kind == "zoom":
+                cam.zoom(float(op.get("amount", 0.0)))
+            elif kind == "reset":
+                self.camera = cam = Camera(aspect=cam.aspect)
+            elif kind == "look_at":
+                cam.look_at(tuple(op.get("target", (0.0, 0.0, 0.0))))
+            else:
+                raise ValueError(f"unknown camera op: {kind!r}")
+            pose = {"eye": list(cam.eye), "direction": list(cam.direction)}
+            req = dict(self._last_req)
+        # restart the progressive buffer under the new pose
+        self.start(req)
+        return pose
 
     def stop(self):
         self._cancel.set()
@@ -184,8 +240,12 @@ class ViewerState:
                 max_dist=float(req.get("max_dist", 1000.0)),
                 grid_width=int(req.get("grid_width", 4)),
                 grid_height=int(req.get("grid_height", 4)))
-            corners = Camera(
-                aspect=cfg.width / cfg.height).corner_rays_flat()
+            with self.lock:
+                if self.camera is None:
+                    self.camera = Camera(aspect=cfg.width / cfg.height)
+                else:
+                    self.camera.aspect = cfg.width / cfg.height
+                corners = self.camera.corner_rays_flat()
             with self.lock:
                 self.accum = np.zeros((cfg.height, cfg.width, 3),
                                       np.float32)
@@ -195,10 +255,10 @@ class ViewerState:
                 self.error = ""
             spectral = bool(req.get("spectral"))
             direct_light = bool(req.get("direct_light"))
-            # fused Pallas path on TPU (tile-aligned frames), oracle else
+            # fused Pallas path on TPU (pads-and-crops any frame size,
+            # same rule as cli._pick_impl), oracle elsewhere
             import jax
-            use_fused = (jax.devices()[0].platform == "tpu"
-                         and cfg.width % 128 == 0 and cfg.height % 32 == 0)
+            use_fused = jax.devices()[0].platform == "tpu"
             if spectral:
                 from raymarchrenderer_tpu.render.spectral_integrator import (
                     _spectral_step, band_table)
@@ -279,10 +339,14 @@ class ViewerState:
 
     def state_json(self) -> bytes:
         with self.lock:
+            cam = self.camera
             return json.dumps({
                 "rendering": self.rendering, "n": self.n, "spp": self.spp,
                 "width": 0 if self.accum is None else self.accum.shape[1],
                 "height": 0 if self.accum is None else self.accum.shape[0],
+                "camera": None if cam is None else {
+                    "eye": list(cam.eye),
+                    "direction": list(cam.direction)},
                 "error": self.error}).encode()
 
 
@@ -323,6 +387,15 @@ def make_server(port: int = 8000, host: str = "127.0.0.1",
                 try:
                     st.start(json.loads(body or b"{}"))
                     self._send(b'{"ok": true}', "application/json")
+                except Exception as e:
+                    self._send(json.dumps(
+                        {"ok": False, "error": str(e)}).encode(),
+                        "application/json", 400)
+            elif path == "/api/camera":
+                try:
+                    pose = st.camera_op(json.loads(body or b"{}"))
+                    self._send(json.dumps(
+                        {"ok": True, **pose}).encode(), "application/json")
                 except Exception as e:
                     self._send(json.dumps(
                         {"ok": False, "error": str(e)}).encode(),

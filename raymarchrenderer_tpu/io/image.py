@@ -264,6 +264,12 @@ def load_png(path: str) -> np.ndarray:
     """Decode the PNGs we write (8-bit RGB, filter 0) → linear float32."""
     with open(path, "rb") as f:
         data = f.read()
+    return load_png_bytes(data)
+
+
+def load_png_bytes(data: bytes) -> np.ndarray:
+    """`load_png` over an in-memory buffer (e.g. the viewer's
+    ``/api/image.png`` response)."""
     assert data[:8] == b"\x89PNG\r\n\x1a\n"
     pos = 8
     w = h = None

@@ -181,3 +181,53 @@ class TestRecordedSharded:
         for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-7)
+
+
+class TestPaddedSharding:
+    """Round-4 verdict item 8: the mesh layer pads like the kernel instead
+    of hard-requiring divisibility — non-divisible heights render
+    ceil-rows-per-chip (cropped on return) and non-divisible spp renders
+    the remainder as one extra masked sample on chips si < spp_rem.  The
+    sample SET is exactly {0..spp-1}, so the image must match unsharded."""
+
+    def test_rows_pad(self, scene_and_params):
+        scene, params = scene_and_params
+        if len(jax.devices()) < 8:
+            pytest.skip("not enough devices")
+        cfg = CFG.replace(height=36)  # 36 rows on an 8-tile mesh -> pad 40
+        mesh = make_mesh(ShardConfig(tile=8, spp=1))
+        img = np.asarray(render_sharded(scene, params, cfg, _corners(),
+                                        mesh, spp=4))
+        assert img.shape == (36, 16, 3)
+        ref, _ = render(scene, params, cfg, _corners(), spp=4)
+        np.testing.assert_allclose(img, np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_spp_remainder(self, scene_and_params):
+        scene, params = scene_and_params
+        if len(jax.devices()) < 4:
+            pytest.skip("not enough devices")
+        mesh = make_mesh(ShardConfig(tile=1, spp=4))
+        img = np.asarray(render_sharded(scene, params, CFG, _corners(),
+                                        mesh, spp=5))  # 5 % 4 == 1
+        ref = _reference_image(scene, params, 5)
+        np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-6)
+
+    def test_fused_rows_and_spp_pad(self):
+        """Fused megakernel path with BOTH axes non-divisible (interpret
+        mode on the CPU mesh) equals the padded oracle path."""
+        from raymarchrenderer_tpu.scene import builtin as bi
+        scene = bi.sphere_on_floor()
+        params = scene.init_params()
+        cfg = RenderConfig(width=128, height=23, max_steps=48,
+                           max_bounces=2, max_dist=100.0)  # 23 % 2 != 0
+        corners = Camera(aspect=4.0).corner_rays_flat()
+        mesh = make_mesh(ShardConfig(tile=2, spp=2))
+        a = np.asarray(render_sharded(scene, params, cfg, corners, mesh,
+                                      spp=3, impl="oracle"))
+        b = np.asarray(render_sharded(scene, params, cfg, corners, mesh,
+                                      spp=3, impl="fused", interpret=True))
+        assert a.shape == b.shape == (23, 128, 3)
+        np.testing.assert_array_equal(a, b)
+        ref, _ = render(scene, params, cfg, corners, spp=3)
+        np.testing.assert_allclose(a, np.asarray(ref), rtol=1e-5, atol=1e-6)

@@ -95,3 +95,49 @@ def test_spectral_and_nee_render_modes(server):
             time.sleep(0.3)
         assert st.get("error") == "", (req, st)
         assert st["n"] == 2.0, req
+
+
+def test_camera_ops_restart_render(server):
+    """`/api/camera` (Camera.cpp:104-137 intent): orbit/pan/zoom mutate the
+    persistent pose and restart the progressive buffer; the next render
+    uses the NEW pose, so the image changes."""
+    import numpy as np
+
+    from raymarchrenderer_tpu.io.image import load_png_bytes
+
+    base, state = server
+    req = {"scene": "sphere_on_floor", "spp": 2, "width": 32, "height": 32,
+           "max_steps": 48, "max_bounces": 2, "max_dist": 100.0}
+    _post(base, "/api/render", req)
+
+    def wait_done():
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            st = json.loads(_get(base, "/api/state"))
+            if st["n"] >= 2 and not st["rendering"]:
+                return st
+            time.sleep(0.2)
+        raise AssertionError("render did not finish")
+
+    st = wait_done()
+    assert st["camera"] is not None and len(st["camera"]["eye"]) == 3
+    img_a = load_png_bytes(_get(base, "/api/image.png"))
+    eye0 = st["camera"]["eye"]
+
+    r = json.loads(_post(base, "/api/camera",
+                         {"op": "orbit", "ax": 0.4, "ay": 0.0}))
+    assert r["ok"] and r["direction"] != [0.0, -0.4472135954999579,
+                                          0.8944271909999159]
+    st = wait_done()
+    img_b = load_png_bytes(_get(base, "/api/image.png"))
+    assert not np.array_equal(img_a, img_b), "orbit must change the image"
+
+    r = json.loads(_post(base, "/api/camera", {"op": "zoom", "amount": 1.0}))
+    assert r["ok"] and r["eye"] != eye0
+    wait_done()
+
+    r = json.loads(_post(base, "/api/camera", {"op": "reset"}))
+    assert r["ok"] and r["eye"] == [0.0, 4.0, -6.0]
+    st = wait_done()
+    img_d = load_png_bytes(_get(base, "/api/image.png"))
+    assert np.array_equal(img_a, img_d), "reset must restore the exact pose"
