@@ -113,7 +113,7 @@ class RNGStream:
     (`RayMarch3.glsl:47-61`) whose sequential state would serialize SPMD.
     """
 
-    __slots__ = ("px", "py", "base", "_counter")
+    __slots__ = ("px", "py", "base", "_s2", "_counter")
 
     def __init__(self, seed, px, py, *folds):
         self.px = jnp.asarray(px).astype(_U32)
@@ -122,23 +122,39 @@ class RNGStream:
         for f in folds:
             base = _avalanche(base + jnp.asarray(f).astype(_U32) * _W3)
         self.base = base
+        self._s2 = None
         self._counter = 0
+
+    def _stage2(self):
+        """The draw-invariant prefix of `hash_u32(px, py, base, ctr)`.
+
+        hash_u32 is a left fold, so the first three mixing rounds depend
+        only on (px, py, base) — shared by every draw of the stream.
+        Caching it makes each `.next()` one avalanche round instead of
+        three (the hot shade pass draws 3-5 uniforms per stream); the bit
+        stream is IDENTICAL (same op DAG, explicitly factored instead of
+        relying on backend CSE)."""
+        if self._s2 is None:
+            s1 = _avalanche(self.px * _W0 + self.py * _W1)
+            self._s2 = _avalanche(s1 + self.base * _W2)
+        return self._s2
 
     def next(self):
         """Fresh uniform [0,1) array broadcast over the pixel coords."""
         self._counter += 1
         return bits_to_uniform(
-            hash_u32(self.px, self.py, self.base, jnp.uint32(self._counter)))
+            _avalanche(self._stage2() + jnp.uint32(self._counter) * _W3))
 
     def next_bits(self):
         self._counter += 1
-        return hash_u32(self.px, self.py, self.base, jnp.uint32(self._counter))
+        return _avalanche(self._stage2() + jnp.uint32(self._counter) * _W3)
 
     def fork(self, tag: int) -> "RNGStream":
         """Independent substream (e.g. per light) without slot collisions."""
         child = RNGStream.__new__(RNGStream)
         child.px, child.py = self.px, self.py
         child.base = _avalanche(self.base + jnp.uint32(tag) * _W1)
+        child._s2 = None
         child._counter = 0
         return child
 

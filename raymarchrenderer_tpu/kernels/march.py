@@ -34,6 +34,7 @@ outside in plain XLA: color + miss_thr · sky(miss_dir).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -786,5 +787,9 @@ def render_fused_spectral(scene: Scene, params, mats, cfg: RenderConfig,
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(plane, plane, plane),
         interpret=interpret,
+        # RMR_PALLAS_DEBUG=1 prints the kernel jaxpr + Mosaic module at
+        # lowering (tools/mosaic_issue_count.py captures it for the
+        # issue-roofline artifact)
+        debug=os.environ.get("RMR_PALLAS_DEBUG", "0") == "1",
     )(corners_arr, scalar_arr, *leaves2d)
     return jnp.stack([r, g, b], axis=-1)[:ph, :pw]

@@ -45,6 +45,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from raymarchrenderer_tpu.core.rng import RNGStream
@@ -104,6 +105,10 @@ class _MegaState(NamedTuple):
     # the per-path additive NEE radiance, the post-shadow resume state,
     # the light counter, and the not-yet-marched lights' precomputed
     # (dir, t_max, contrib) stash (a tuple of n_lights-1 entries)
+    # scalar global march-step counter (lazy_miss only): st.steps then
+    # stores the per-lane gstep snapshot at segment start and the live
+    # count is gstep - steps (see _SpecState for the full rationale)
+    gstep: jax.Array = None
     sh_o: Vec3 = None          # shadow ray origin (hitp + n*surface_offset)
     sh_d: Vec3 = None          # shadow ray direction (current light)
     seg_tmax: jax.Array = None  # march cap: light distance / max_dist
@@ -194,9 +199,10 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
 
     relax = cfg.relax_omega > 1.0
     nee = direct_light and scene.n_lights > 0
-    if record_banks and dispersion:
-        raise ValueError("record_banks assumes RGB transport (the "
-                         "differentiable replay has no dispersion mode)")
+    # record_banks + dispersion (round 5): the path counter already
+    # enumerates (sample, channel) pairs, so the banks get slot
+    # b·3S + (3s + ci) for free; the recorder's caller folds them into
+    # per-channel (B, S·H, W) planes for the replay's channel loop.
     if record_banks and defer_sky:
         raise ValueError("record_banks and defer_sky are exclusive modes")
     if record_banks and (lazy_miss or regen_cadence):
@@ -210,6 +216,12 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         raise ValueError("regen_cadence must divide march_unroll")
     B = cfg.max_bounces
     L = scene.n_lights if nee else 0
+    _one_minus_omega = float(np.float32(1.0) - np.float32(cfg.relax_omega))
+    # record mode traces geometry only: the color output is discarded and
+    # a missed path terminates (sky never feeds a later RR/shade decision),
+    # so skip the sky eval — which is what lets ENV-MAP scenes record
+    # in-kernel (the equirect gather stays in the XLA replay)
+    skip_sky = defer_sky or record_banks
 
     def march_step(st: _MegaState) -> _MegaState:
         marching = st.state == _MARCH
@@ -241,13 +253,12 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         else:
             fail = jnp.zeros(jnp.shape(st.t), bool)
         is_hit = seg & ~fail & (dist < cfg.hit_eps)
-        # unconditional: only marching lanes' counts are read (is_miss is
-        # masked by `seg`) and every MARCH transition resets to 0
-        steps = st.steps + 1
         if lazy_miss:
             # miss detection (and the miss-time sky multiply) deferred to
             # `mark_misses` at the pass/cadence boundary — the hot loop
-            # carries only the hit test
+            # carries only the hit test; the step budget rides the SCALAR
+            # gstep counter (st.steps holds segment-start snapshots)
+            upd = dict(gstep=st.gstep + 1)
             thr = st.thr
             if nee:
                 # a shadow segment past its light (t >= seg_tmax) must NOT
@@ -264,17 +275,24 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
                 state = jnp.where(is_hit, _WAIT, st.state)
             still = seg & ~is_hit
             if relax:
-                new_len = jnp.where(fail, st.step_len * (1.0 - st.omega),
+                # fail implies omega == relax_omega exactly, so
+                # (1 - omega) is a trace-time constant (one fewer vector
+                # op; f32 `1 - omega` is exact by Sterbenz, so bitwise)
+                new_len = jnp.where(fail, st.step_len * _one_minus_omega,
                                     dist * st.omega)
                 omega = jnp.where(fail, 1.0, st.omega)
                 prev_r = jnp.where(still, jnp.abs(dist), st.prev_r)
                 step_len = jnp.where(still, jnp.abs(new_len), st.step_len)
                 t = jnp.where(still, st.t + new_len, st.t)
-                return st._replace(t=t, thr=thr, state=state, steps=steps,
+                return st._replace(t=t, thr=thr, state=state,
                                    omega=omega, prev_r=prev_r,
-                                   step_len=step_len)
+                                   step_len=step_len, **upd)
             t = jnp.where(still, st.t + dist * cfg.step_multiply, st.t)
-            return st._replace(t=t, thr=thr, state=state, steps=steps)
+            return st._replace(t=t, thr=thr, state=state, **upd)
+        # unconditional: only marching lanes' counts are read (is_miss is
+        # masked by `seg`) and every MARCH transition resets to 0
+        steps = st.steps + 1
+        upd = dict(steps=steps)
         # miss on the PRE-step t (parity with `march`, RayMarch.glsl:233-257)
         # or on step-budget exhaustion (march loop falling off the end).
         is_miss = seg & ~fail & ~is_hit & (
@@ -283,11 +301,11 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         # never trace the gather here; misses park as _WAIT_MISS and the
         # regen pass banks their (throughput, direction) event instead
         miss_state = _WAIT_MISS if defer_sky else _REGEN
-        if not defer_sky:
+        if not skip_sky:
             sky = scene.sky(params, st.d)
         if nee:
             bounce_miss = is_miss & ~shadow
-            thr = (st.thr if defer_sky
+            thr = (st.thr if skip_sky
                    else vselect(bounce_miss, st.thr * sky, st.thr))
             # shadow outcomes park for the resolve pass; budget exhaustion
             # counts as LIT (the oracle march returns t == t_max there)
@@ -296,23 +314,24 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
                 jnp.where(is_miss, jnp.where(shadow, _SH_LIT, miss_state),
                           st.state))
         else:
-            thr = (st.thr if defer_sky
+            thr = (st.thr if skip_sky
                    else vselect(is_miss, st.thr * sky, st.thr))
             state = jnp.where(is_hit, _WAIT,
                               jnp.where(is_miss, miss_state, st.state))
         still = seg & ~is_hit & ~is_miss
         if relax:
-            new_len = jnp.where(fail, st.step_len * (1.0 - st.omega),
+            # (1 - omega) const-folded: see the lazy branch note
+            new_len = jnp.where(fail, st.step_len * _one_minus_omega,
                                 dist * st.omega)
             omega = jnp.where(fail, 1.0, st.omega)
             prev_r = jnp.where(still, jnp.abs(dist), st.prev_r)
             step_len = jnp.where(still, jnp.abs(new_len), st.step_len)
             t = jnp.where(still, st.t + new_len, st.t)
-            return st._replace(t=t, thr=thr, state=state, steps=steps,
+            return st._replace(t=t, thr=thr, state=state,
                                omega=omega, prev_r=prev_r,
-                               step_len=step_len)
+                               step_len=step_len, **upd)
         t = jnp.where(still, st.t + dist * cfg.step_multiply, st.t)
-        return st._replace(t=t, thr=thr, state=state, steps=steps)
+        return st._replace(t=t, thr=thr, state=state, **upd)
 
     def shade(st: _MegaState) -> _MegaState:
         waiting = st.state == _WAIT
@@ -385,7 +404,7 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         o = vselect(waiting, o_next, st.o)
         d = vselect(waiting, s.dir, st.d)
         t = jnp.where(waiting, 0.0, st.t)
-        steps = jnp.where(waiting, 0, st.steps)
+        steps = jnp.where(waiting, st.gstep if lazy_miss else 0, st.steps)
         st = st._replace(o=o, d=d, t=t, thr=thr, inside=inside,
                          bounce=bounce, state=state, steps=steps)
         st = _reset_relax(st, waiting) if relax else st
@@ -471,7 +490,8 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
             li=jnp.where(parked, jnp.where(more, li2, 0), st.li),
             sh_d=sh_d, seg_tmax=seg_tmax, contrib=contrib,
             t=jnp.where(parked, 0.0, st.t),
-            steps=jnp.where(parked, 0, st.steps))
+            steps=jnp.where(parked, st.gstep if lazy_miss else 0,
+                            st.steps))
         return _reset_relax(st, parked) if relax else st
 
     def regen(st: _MegaState) -> _MegaState:
@@ -534,7 +554,8 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         d = vselect(pending_any, d_new, st.d)
         thr = vselect(pending_any, lane_channels(s_idx), st.thr)
         t = jnp.where(pending_any, 0.0, st.t)
-        steps = jnp.where(pending_any, 0, st.steps)
+        steps = jnp.where(pending_any, st.gstep if lazy_miss else 0,
+                          st.steps)
         bounce = jnp.where(pending_any, 0, st.bounce)
         inside = jnp.where(pending_any, 0.0, st.inside)
         out = st._replace(o=o, d=d, t=t, thr=thr, acc=acc, inside=inside,
@@ -563,19 +584,20 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         else:
             seg = st.state == _MARCH
             tmax = cfg.max_dist
-        is_miss = seg & ((st.t >= tmax) | (st.steps >= cfg.max_steps))
+        is_miss = seg & ((st.t >= tmax)
+                         | (st.gstep - st.steps >= cfg.max_steps))
         miss_state = _WAIT_MISS if defer_sky else _REGEN
-        if not defer_sky:
+        if not skip_sky:
             sky = scene.sky(params, st.d)
         if nee:
             bounce_miss = is_miss & ~shadow
-            thr = (st.thr if defer_sky
+            thr = (st.thr if skip_sky
                    else vselect(bounce_miss, st.thr * sky, st.thr))
             state = jnp.where(is_miss,
                               jnp.where(shadow, _SH_LIT, miss_state),
                               st.state)
         else:
-            thr = (st.thr if defer_sky
+            thr = (st.thr if skip_sky
                    else vselect(is_miss, st.thr * sky, st.thr))
             state = jnp.where(is_miss, miss_state, st.state)
         return st._replace(thr=thr, state=state)
@@ -637,6 +659,7 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
         o=eye, d=primary(izero), t=zero, thr=lane_channels(izero),
         acc=Vec3.zeros(shape),
         inside=zero, bounce=izero, s_idx=izero, state=izero, steps=izero,
+        gstep=jnp.int32(0) if lazy_miss else None,
         omega=jnp.full(shape, max(cfg.relax_omega, 1.0), jnp.float32),
         prev_r=zero, step_len=zero)
     if nee:
@@ -703,10 +726,23 @@ class _SpecState(NamedTuple):
     bounce: jax.Array
     s_idx: jax.Array
     state: jax.Array
+    # strict schedule: per-lane step COUNT (+1 every march step).
+    # lazy_miss schedule: per-lane step counter value at SEGMENT START
+    # (written only in passes); the live count is `gstep - steps`.  All
+    # segment starts happen at pass boundaries, so the count read by
+    # mark_misses is identical — but the hot loop drops its per-lane
+    # vector increment (the only consumer is the boundary test) and the
+    # plane stops being written every step (less VREG churn).
     steps: jax.Array
     omega: jax.Array
     prev_r: jax.Array
     step_len: jax.Array
+    # scalar global march-step counter (lazy_miss only; scalar add ≈ free)
+    gstep: jax.Array = None
+    # record-mode banks (record_banks=True): STACKED (B·S, h, w) carries
+    # (t f32, mid i32, hit i32) — the march residuals the differentiable
+    # spectral replay consumes (trace_spectral(march_impl='recorded'))
+    rec: tuple = ()
     # occupancy counters (None unless with_occupancy): per-lane counts of
     # march_step calls spent MARCHING vs total
     m_cnt: jax.Array = None
@@ -719,7 +755,9 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
                         march_unroll: int = 1,
                         with_occupancy: bool = False,
                         lazy_miss: bool = False,
-                        regen_cadence: int = 0):
+                        regen_cadence: int = 0,
+                        record_banks: bool = False,
+                        _introspect: dict = None):
     """Spectral twin of `trace_mega_paths`: sum over `n_samples` of
     `wavelengthToColor(λ)·power` per pixel, bitwise equal to
     Σ_s render_sample_spectral(sample0+s) (same RNG slots per
@@ -768,6 +806,11 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
     s0 = jnp.asarray(sample0).astype(jnp.uint32)
     sky_min, sky_max, sky_p = 390.0, 830.0, jnp.float32(cfg.sky_power)
     relax = cfg.relax_omega > 1.0
+    _one_minus_omega = float(np.float32(1.0) - np.float32(cfg.relax_omega))
+    if record_banks and (lazy_miss or regen_cadence or with_occupancy):
+        raise ValueError("record_banks keeps the strict schedule "
+                         "(lazy_miss/regen_cadence/occupancy are "
+                         "render-only knobs)")
     if (regen_cadence and regen_cadence < march_unroll
             and march_unroll % regen_cadence):
         # cadence >= unroll simply means "no mid-chunk pass" (body() only
@@ -793,16 +836,22 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
         else:
             fail = jnp.zeros(shape, bool)
         is_hit = marching & ~fail & (dist < cfg.hit_eps)
-        # unconditional: only marching lanes' counts are read (is_miss is
-        # masked by `marching`), and every MARCH transition resets to 0,
-        # so dropping the select is exact
-        steps = st.steps + 1
         if lazy_miss:
             # miss detection deferred to `mark_misses` at the pass
-            # boundary — the hot loop carries only the hit test
+            # boundary — the hot loop carries only the hit test.  The
+            # step budget is tracked by the SCALAR gstep counter (+1 per
+            # step, ~free) against the per-lane segment-start snapshot in
+            # st.steps: one vector add per step removed, and the steps
+            # plane is no longer written in the loop (see _SpecState)
+            upd = dict(gstep=st.gstep + 1)
             state = jnp.where(is_hit, _WAIT, st.state)
             still = marching & ~is_hit
         else:
+            # unconditional: only marching lanes' counts are read
+            # (is_miss is masked by `marching`), and every MARCH
+            # transition resets to 0, so dropping the select is exact
+            steps = st.steps + 1
+            upd = dict(steps=steps)
             is_miss = marching & ~fail & ~is_hit & (
                 (st.t >= cfg.max_dist) | (steps >= cfg.max_steps))
             # both hit AND miss park for the shade pass: the sky is an
@@ -811,21 +860,27 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
                               jnp.where(is_miss, _WAIT_MISS, st.state))
             still = marching & ~is_hit & ~is_miss
         if relax:
-            new_len = jnp.where(fail, st.step_len * (1.0 - st.omega),
+            # (1 - omega) const-folded: see the lazy branch note
+            new_len = jnp.where(fail, st.step_len * _one_minus_omega,
                                 dist * st.omega)
             omega = jnp.where(fail, 1.0, st.omega)
             prev_r = jnp.where(still, jnp.abs(dist), st.prev_r)
             step_len = jnp.where(still, jnp.abs(new_len), st.step_len)
             t = jnp.where(still, st.t + new_len, st.t)
-            return st._replace(t=t, state=state, steps=steps,
-                               omega=omega, prev_r=prev_r, step_len=step_len)
+            return st._replace(t=t, state=state, omega=omega,
+                               prev_r=prev_r, step_len=step_len, **upd)
         t = jnp.where(still, st.t + dist * cfg.step_multiply, st.t)
-        return st._replace(t=t, state=state, steps=steps)
+        return st._replace(t=t, state=state, **upd)
 
     def mark_misses(st: _SpecState) -> _SpecState:
-        """lazy_miss boundary test: park exhausted marchers as misses."""
-        is_miss = (st.state == _MARCH) & ((st.t >= cfg.max_dist)
-                                          | (st.steps >= cfg.max_steps))
+        """lazy_miss boundary test: park exhausted marchers as misses.
+
+        st.steps holds the gstep snapshot at segment start (lazy mode),
+        so gstep - steps is the lane's live step count — identical to the
+        strict counter since all segment starts are at pass boundaries."""
+        is_miss = (st.state == _MARCH) & (
+            (st.t >= cfg.max_dist)
+            | (st.gstep - st.steps >= cfg.max_steps))
         return st._replace(state=jnp.where(is_miss, _WAIT_MISS, st.state))
 
     def shade(st: _SpecState) -> _SpecState:
@@ -838,13 +893,40 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
         rng = RNGStream(cfg.seed, px, py, s_id, st.bounce)
         u = rng.next()
         m_min, m_max, m_pow, m_kind = _lookup(mats, mid)
-        wl_h, pw_h, absorbed = _apply_band(st.wl, st.power, u,
-                                           m_min, m_max, m_pow)
-        wl_s, pw_s, _ = _apply_band(st.wl, st.power, u,
-                                    sky_min, sky_max, sky_p)
-        wl = jnp.where(waiting, jnp.where(hit_b, wl_h, wl_s), st.wl)
-        power = jnp.where(waiting, jnp.where(hit_b, pw_h, pw_s), st.power)
-        term = (hit_b & ((m_kind == 1) | absorbed)) | ~hit_b
+        if record_banks:
+            # bank this hit's march residuals at the lane's
+            # (bounce, sample) slot — slot = b·S + s (misses keep the
+            # init values t=max_dist/mid=-1/hit=0, exactly the oracle
+            # march's miss return).  Stacked one-hot broadcast write,
+            # same pattern as the RGB recorder's.
+            S = n_samples
+            slot = st.bounce * S + st.s_idx if S > 1 else st.bounce
+            t_bank, mid_bank, hit_bank = st.rec
+            kk = lax.broadcasted_iota(jnp.int32, t_bank.shape, 0)
+            sel = hit_b[None] & (slot[None] == kk)
+            t_bank = jnp.where(sel, st.t[None], t_bank)
+            mid_bank = jnp.where(sel, mid[None], mid_bank)
+            hit_bank = jnp.where(sel, 1, hit_bank)
+            st = st._replace(rec=(t_bank, mid_bank, hit_bank))
+        # ONE _apply_band over hit_b-selected band params instead of two
+        # (hit + sky) calls: _apply_band is elementwise in its params, so
+        # selecting inputs ≡ selecting outputs bitwise — and the pass pays
+        # one band evaluation (incl. its divide) instead of two
+        b_min = jnp.where(hit_b, m_min, sky_min)
+        b_max = jnp.where(hit_b, m_max, sky_max)
+        b_pow = jnp.where(hit_b, m_pow, sky_p)
+        wl_n, pw_n, absorbed = _apply_band(st.wl, st.power, u,
+                                           b_min, b_max, b_pow)
+        wl = jnp.where(waiting, wl_n, st.wl)
+        power = jnp.where(waiting, pw_n, st.power)
+        if record_banks:
+            # SOFT-replay termination: the differentiable band filter
+            # (_apply_band_soft) never absorbs — it attenuates — so the
+            # recorded segment set must continue through absorptions for
+            # the replay to find its bounces banked
+            term = (hit_b & (m_kind == 1)) | ~hit_b
+        else:
+            term = (hit_b & ((m_kind == 1) | absorbed)) | ~hit_b
         bounce = jnp.where(waiting, st.bounce + 1, st.bounce)
         done_now = term | (bounce >= cfg.max_bounces)
         state = jnp.where(waiting,
@@ -854,7 +936,9 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
         o = vselect(waiting, hitp + normal * cfg.surface_offset, st.o)
         d = vselect(waiting, new_dir, st.d)
         t = jnp.where(waiting, 0.0, st.t)
-        steps = jnp.where(waiting, 0, st.steps)
+        # lazy mode: steps stores the segment-start gstep snapshot
+        seg0 = st.gstep if lazy_miss else 0
+        steps = jnp.where(waiting, seg0, st.steps)
         st = st._replace(o=o, d=d, t=t, wl=wl, power=power, bounce=bounce,
                          state=state, steps=steps)
         return _reset_relax_spec(st, waiting) if relax else st
@@ -875,7 +959,8 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
         wl = jnp.where(pending, 0.0, st.wl)
         power = jnp.where(pending, 1.0, st.power)
         t = jnp.where(pending, 0.0, st.t)
-        steps = jnp.where(pending, 0, st.steps)
+        seg0 = st.gstep if lazy_miss else 0
+        steps = jnp.where(pending, seg0, st.steps)
         bounce = jnp.where(pending, 0, st.bounce)
         st = st._replace(o=o, d=d, t=t, wl=wl, power=power, acc=acc,
                          bounce=bounce, s_idx=s_idx, state=state,
@@ -944,11 +1029,27 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
         power=jnp.ones(shape, jnp.float32), acc=Vec3.zeros(shape),
         bounce=izero, s_idx=izero, state=izero, steps=izero,
         omega=jnp.full(shape, max(cfg.relax_omega, 1.0), jnp.float32),
-        prev_r=zero, step_len=zero)
+        prev_r=zero, step_len=zero,
+        gstep=jnp.int32(0) if lazy_miss else None)
     if with_occupancy:
         init = init._replace(m_cnt=izero, tot_cnt=izero)
+    if record_banks:
+        BS = cfg.max_bounces * n_samples
+        init = init._replace(rec=(
+            jnp.full((BS,) + shape, cfg.max_dist, jnp.float32),
+            jnp.full((BS,) + shape, -1, jnp.int32),
+            jnp.zeros((BS,) + shape, jnp.int32)))
+    if _introspect is not None:
+        # tools/issue_breakdown.py: expose the loop pieces for jaxpr-level
+        # issue-slot accounting (no runtime effect on real renders)
+        _introspect.update(march_step=march_step, mark_misses=mark_misses,
+                           shade=shade, regen=regen, miss_pass=miss_pass,
+                           parked_pass=parked_pass, body=body, init=init)
+        return init.acc
     st0 = march_step(init)
     out = lax.while_loop(cond, body, st0)
     if with_occupancy:
         return out.acc, out.m_cnt, out.tot_cnt
+    if record_banks:
+        return out.acc, out.rec
     return out.acc
