@@ -317,7 +317,11 @@ def cmd_train(args) -> int:
         mats = band_table(scene)
         interpret = jax.devices()[0].platform != "tpu"
         mesh = make_mesh(auto_shard())
-        march_impl = "oracle" if args.impl == "oracle" else "fused"
+        # "recorded" (round 5): ONE Pallas launch records every
+        # (sample, bounce) march, the band/splat replay runs in XLA —
+        # spectral training stops paying per-bounce marches
+        march_impl = {"auto": "recorded", "fused": "fused",
+                      "oracle": "oracle"}[args.impl]
         with mesh:
             params = render_replicated_params(scene, params, mesh)
             for k in range(args.steps):
@@ -396,22 +400,15 @@ def cmd_bench(args) -> int:
 
 def cmd_parity(args) -> int:
     """Run the gated golden-image parity check (exit nonzero on gate
-    failure) — the committed-artifact workflow as a product verb."""
-    root = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    import importlib.util
-    path = os.path.join(root, "tools", "reference_parity.py")
-    if not os.path.exists(path):
-        # tools/ ships with the source checkout, not the wheel — the check
-        # compares against reference artifacts that only live in the repo
-        print("parity: tools/reference_parity.py not found — the gated "
-              "golden-image check needs a source checkout (the reference "
-              "artifacts are repo files, not packaged)", file=sys.stderr)
-        return 2
-    spec = importlib.util.spec_from_file_location("_refparity", path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod.main()
+    failure) — the committed-artifact workflow as a product verb.
+
+    Works from a WHEEL install too (round 5): the gated goldens ship
+    downscaled as package data (`raymarchrenderer_tpu/data/parity/`) and
+    the packaged re-authored default scene stands in for the reference
+    checkout; with the reference mount present, the full-resolution BMPs
+    and the reference's own scene file are used instead."""
+    from raymarchrenderer_tpu.utils.parity import run_parity
+    return run_parity()
 
 
 def cmd_info(args) -> int:

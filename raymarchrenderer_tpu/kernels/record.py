@@ -78,17 +78,27 @@ def trace_record_fused(scene: Scene, params, cfg: RenderConfig, eye: Vec3,
     per-lane bounce progression, shadow marches as extra segments) — on a
     v5e this runs ~4× the bounce-synchronous `mode="wavefront"` fallback,
     whose per-bounce tile barriers cost Σ_b max_lanes(steps_b)."""
-    if cfg.separate_channels:
+    if cfg.separate_channels and mode not in ("mega", "auto"):
         raise NotImplementedError(
-            "recorded differentiable forward assumes RGB transport "
-            "(channels == 1); dispersion trains on the per-bounce path")
+            "dispersion recording enumerates (sample, channel) paths — a "
+            "megakernel-schedule mode (mode='mega')")
     if scene.has_env_map:
-        raise NotImplementedError(
-            "env-map scenes train on the per-bounce fused path (the "
-            "equirect sky gather must stay in XLA; render_patch/_spp "
-            "downgrade march_impl='recorded' to 'fused' automatically)")
+        # round-5: env-map scenes record too.  The recorder traces
+        # GEOMETRY only (t, mid, hit[, sd]) — the color output is
+        # discarded and a missed path terminates, so no recorded value or
+        # RR decision depends on the sky.  The kernels therefore skip the
+        # sky eval entirely (the equirect gather stays in the XLA replay,
+        # where trace_rgb(march_impl='recorded') computes it
+        # differentiably), and the texture is not shipped into VMEM:
+        params = dict(params)
+        params["env"] = dict(params["env"])
+        params["env"]["image"] = jnp.zeros((0, 0, 3), jnp.float32)
     if mode == "auto":
         mode = "mega" if corners is not None else "wavefront"
+    if cfg.separate_channels and mode != "mega":
+        raise NotImplementedError(
+            "dispersion recording enumerates (sample, channel) paths — a "
+            "megakernel-schedule mode (pass corners / mode='mega')")
     if mode == "mega" and corners is None:
         raise ValueError("mode='mega' needs the camera `corners` (the "
                          "megakernel regenerates primary rays in-kernel)")
@@ -171,9 +181,14 @@ def trace_record_fused(scene: Scene, params, cfg: RenderConfig, eye: Vec3,
             s = scene.shade(p, ctx, mid)
             hit_active = active_b & hitm
             miss_active = active_b & ~hitm
-            sky = scene.sky(p, d)
-            mult = vselect(hit_active, s.color,
-                           vselect(miss_active, sky, ones3))
+            if scene.has_env_map:
+                # sky feeds only terminated lanes' colors (discarded) —
+                # skip the env gather in-kernel (see trace_record_fused)
+                mult = vselect(hit_active, s.color, ones3)
+            else:
+                sky = scene.sky(p, d)
+                mult = vselect(hit_active, s.color,
+                               vselect(miss_active, sky, ones3))
             color = color * mult
             new_inside_b = s.inside.x > 0.5
             inside = jnp.where(hit_active, new_inside_b.astype(f32), inside)
@@ -262,6 +277,7 @@ def trace_record_fused(scene: Scene, params, cfg: RenderConfig, eye: Vec3,
 def _record_mega(scene: Scene, params, cfg: RenderConfig, corners, px, py,
                  sample, direct_light: bool, block, interpret: bool,
                  n_samples: int = 1):
+    # (see trace_record_fused; dispersion banks fold per channel below)
     """Megakernel-schedule recorder: per-lane bounce progression with
     banked residual writes at the shade/resolve passes
     (`render.mega.trace_mega_paths(record_banks)`).
@@ -279,6 +295,8 @@ def _record_mega(scene: Scene, params, cfg: RenderConfig, corners, px, py,
     h, w = shape
     B = cfg.max_bounces
     S = int(n_samples)
+    disp = bool(cfg.separate_channels)
+    P = 3 * S if disp else S  # banked path slots per bounce
     nee = direct_light and scene.n_lights > 0
     L = scene.n_lights if nee else 0
     bh, bw = min(block[0], h), min(block[1], w)
@@ -328,6 +346,7 @@ def _record_mega(scene: Scene, params, cfg: RenderConfig, corners, px, py,
                                   ksample, ch, n_samples=S,
                                   shade_gate=0.0,
                                   march_unroll=march_unroll,
+                                  dispersion=disp,
                                   direct_light=direct_light,
                                   record_banks=True)
         # stacked banks: one copy per output ref (see mega._MegaState.rec)
@@ -342,7 +361,7 @@ def _record_mega(scene: Scene, params, cfg: RenderConfig, corners, px, py,
     bank = lambda n: pl.BlockSpec((n, bh, bw), lambda i, j: (0, i, j),
                                   memory_space=pltpu.VMEM)
     small_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    BS = B * S
+    BS = B * P
     out_specs = [bank(BS)] * 3
     out_shapes = [jax.ShapeDtypeStruct((BS, hp, wp), f32),
                   jax.ShapeDtypeStruct((BS, hp, wp), i32),
@@ -360,6 +379,22 @@ def _record_mega(scene: Scene, params, cfg: RenderConfig, corners, px, py,
     )(corners_arr, *leaves2d, *planes)
     crop = lambda a: a[:, :h, :w]
 
+    if disp:
+        # slot b·3S + (3s + ci): fold to per-CHANNEL sample-folded banks
+        # (3, B, S·H, W) — the replay's channel loop slices [ci] and gets
+        # exactly the RGB recorded layout
+        def fold(a):
+            return a.reshape(B, S, 3, h, w).transpose(2, 0, 1, 3, 4) \
+                    .reshape(3, B, S * h, w)
+
+        rec = {"t": fold(crop(outs[0])), "mid": fold(crop(outs[1])),
+               "hit": fold(crop(outs[2]))}
+        if nee:
+            sd = crop(outs[3]).reshape(B, S, 3, L, h, w)
+            rec["sd"] = sd.transpose(2, 0, 3, 1, 4, 5) \
+                          .reshape(3, B * L, S * h, w)
+        return rec
+
     def fold(a):
         # slot b·S+s → the replay's sample-folded (B, S·H, W) layout
         return a.reshape(B, S, h, w).reshape(B, S * h, w)
@@ -371,3 +406,97 @@ def _record_mega(scene: Scene, params, cfg: RenderConfig, corners, px, py,
         sd = crop(outs[3]).reshape(B, S, L, h, w)
         rec["sd"] = sd.transpose(0, 2, 1, 3, 4).reshape(B * L, S * h, w)
     return rec
+
+
+def trace_record_fused_spectral(scene: Scene, params, mats,
+                                cfg: RenderConfig, corners, px, py, sample0,
+                                n_samples: int = 1,
+                                block=(DEFAULT_BH, DEFAULT_BW),
+                                interpret: bool = False):
+    """Spectral recorder (round 5): the gen-3 megakernel schedule traces
+    every (sample, bounce) march in ONE Pallas launch and banks the
+    (t, mid, hit) residuals the differentiable spectral replay consumes
+    (`spectral_integrator.trace_spectral(march_impl='recorded')`).
+
+    Geometry is band-VALUE independent: gen-3 directions are
+    uniform-hemisphere draws and the recorder terminates only on emitter
+    hits / misses (the soft replay's rule — `_apply_band_soft` attenuates
+    instead of absorbing), so one recording serves every band-table
+    update of a train step.  Returns {"t","mid","hit"} in the replay's
+    sample-folded (B, S·H, W) layout."""
+    from raymarchrenderer_tpu.render.mega import trace_mega_spectral
+
+    params = lax.stop_gradient(params)
+    mats = lax.stop_gradient(mats)
+    shape = jnp.shape(px)
+    h, w = shape
+    B = cfg.max_bounces
+    S = int(n_samples)
+    bh, bw = min(block[0], h), min(block[1], w)
+    hp = -(-h // bh) * bh
+    wp = -(-w // bw) * bw
+    march_unroll = 1 if interpret else 32
+
+    combined = {"scene": params, "mats": mats}
+    leaves, treedef = jax.tree.flatten(combined)
+    leaves = [jnp.asarray(l) for l in leaves]
+    leaf_meta = tuple((jnp.shape(l), int(l.size), l.dtype) for l in leaves)
+    leaves2d = [l.reshape(1, l.size) for l in leaves if l.size]
+    n_shipped = len(leaves2d)
+
+    f32, i32 = jnp.float32, jnp.int32
+    planes = [jnp.asarray(px).astype(i32), jnp.asarray(py).astype(i32)]
+    if (hp, wp) != (h, w):
+        planes = [jnp.pad(a, ((0, hp - h), (0, wp - w))) for a in planes]
+    corners_arr = jnp.stack([jnp.asarray(c, jnp.float32) for c in corners])
+    s0_arr = jnp.asarray(sample0, jnp.uint32).astype(i32).reshape(1, 1)
+
+    def kernel(corners_ref, s0_ref, *refs):
+        param_refs = refs[:n_shipped]
+        pxr, pyr = refs[n_shipped:n_shipped + 2]
+        t_ref, mid_ref, hit_ref = refs[n_shipped + 2:]
+        rebuilt = []
+        ri = 0
+        for shp, size, dt in leaf_meta:
+            if size == 0:
+                rebuilt.append(jnp.zeros(shp, dt))
+            else:
+                rebuilt.append(param_refs[ri][:].reshape(shp))
+                ri += 1
+        tree = jax.tree.unflatten(treedef, rebuilt)
+        p, m = tree["scene"], tree["mats"]
+        kcorners = tuple(corners_ref[k, :] for k in range(5))
+        s0 = s0_ref[0, 0].astype(jnp.uint32)
+        _, rec = trace_mega_spectral(scene, p, m, cfg, kcorners,
+                                     pxr[:], pyr[:], s0, n_samples=S,
+                                     shade_gate=0.0,
+                                     march_unroll=march_unroll,
+                                     record_banks=True)
+        t_ref[:] = rec[0]
+        mid_ref[:] = rec[1]
+        hit_ref[:] = rec[2]
+
+    tile = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    bank = lambda n: pl.BlockSpec((n, bh, bw), lambda i, j: (0, i, j),
+                                  memory_space=pltpu.VMEM)
+    small_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    BS = B * S
+    outs = pl.pallas_call(
+        kernel,
+        grid=(hp // bh, wp // bw),
+        in_specs=[small_vmem, pl.BlockSpec(memory_space=pltpu.SMEM)]
+                 + [small_vmem] * n_shipped + [tile] * 2,
+        out_specs=(bank(BS), bank(BS), bank(BS)),
+        out_shape=(jax.ShapeDtypeStruct((BS, hp, wp), f32),
+                   jax.ShapeDtypeStruct((BS, hp, wp), i32),
+                   jax.ShapeDtypeStruct((BS, hp, wp), i32)),
+        interpret=interpret,
+    )(corners_arr, s0_arr, *leaves2d, *planes)
+    crop = lambda a: a[:, :h, :w]
+
+    def fold(a):
+        return a.reshape(B, S, h, w).reshape(B, S * h, w)
+
+    return {"t": fold(crop(outs[0])), "mid": fold(crop(outs[1])),
+            "hit": fold(crop(outs[2]))}

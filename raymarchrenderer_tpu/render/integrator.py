@@ -534,16 +534,6 @@ def render_patch(scene: Scene, params, cfg: RenderConfig, corners,
                jnp.broadcast_to(e.y, (ph, pw)),
                jnp.broadcast_to(e.z, (ph, pw)))
     recorded = None
-    if march_impl == "recorded" and (scene.has_env_map
-                                     or cfg.separate_channels):
-        # env scenes keep the per-bounce fused path: the equirect gather
-        # must stay in XLA (VPU-hostile + the env image would ship into
-        # VMEM per program); the recording kernel records marches only.
-        # Dispersion (separate_channels) likewise downgrades — the
-        # recorder has no (sample, channel) path enumeration
-        # (kernels/record.py raises) and the per-bounce fused path is the
-        # documented differentiable fallback.
-        march_impl = "fused"
     if march_impl == "recorded":
         from raymarchrenderer_tpu.kernels.record import trace_record_fused
         recorded = trace_record_fused(scene, params, cfg, eye, d, px, py,
@@ -560,10 +550,15 @@ def render_patch(scene: Scene, params, cfg: RenderConfig, corners,
                                (0.0, 0.0, 1.0))):
         channels = Vec3.full((ph, pw), *mask)
         s_id = sample * jnp.uint32(4) + jnp.uint32(ci + 1)
+        # dispersion recording (round 5): the recorder banked per-channel
+        # paths — slice channel ci's (B, H, W) planes for this replay
+        rec_ci = (None if recorded is None
+                  else {k: recorded[k][ci] for k in recorded})
         total = total + trace_rgb(scene, params, cfg, eye, d, px, py,
                                   s_id, channels, direct_light,
                                   differentiable,
-                                  march_impl=march_impl, interpret=interpret)
+                                  march_impl=march_impl, interpret=interpret,
+                                  recorded=rec_ci)
     return total
 
 
@@ -611,11 +606,6 @@ def render_patch_spp(scene: Scene, params, cfg: RenderConfig, corners,
                     v.z.reshape(S, ph, pw).sum(0))
 
     recorded = None
-    if march_impl == "recorded" and (scene.has_env_map
-                                     or cfg.separate_channels):
-        # see render_patch: sky gathers stay in XLA; dispersion has no
-        # recorded path enumeration — both fall back to the fused march
-        march_impl = "fused"
     if march_impl == "recorded":
         # ONE Pallas launch runs the entire multi-bounce (and shadow)
         # march; each lane traces its S samples with in-loop regeneration
@@ -645,10 +635,13 @@ def render_patch_spp(scene: Scene, params, cfg: RenderConfig, corners,
                                (0.0, 0.0, 1.0))):
         channels = Vec3.full(shape, *mask)
         s_id = sample * jnp.uint32(4) + jnp.uint32(ci + 1)
+        rec_ci = (None if recorded is None
+                  else {k: recorded[k][ci] for k in recorded})
         total = total + trace_rgb(scene, params, cfg, eye, d, px, py,
                                   s_id, channels, direct_light,
                                   differentiable,
-                                  march_impl=march_impl, interpret=interpret)
+                                  march_impl=march_impl, interpret=interpret,
+                                  recorded=rec_ci)
     return reduce(total)
 
 

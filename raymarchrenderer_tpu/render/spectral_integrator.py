@@ -122,7 +122,8 @@ def trace_spectral(scene: Scene, params, mats: SpectralMaterials,
                    differentiable: bool = False,
                    march_impl: str = "oracle",
                    soft_edge: float = 8.0,
-                   interpret: bool = False):
+                   interpret: bool = False,
+                   recorded=None):
     """Gen-3 `trace` (`RayMarch3.glsl:347-444`), masked over the pixel batch.
 
     Returns (wavelength, power) per pixel.  `profile=True` (trace-time
@@ -141,17 +142,32 @@ def trace_spectral(scene: Scene, params, mats: SpectralMaterials,
     sky_min, sky_max, sky_p = 390.0, 830.0, jnp.float32(cfg.sky_power)
     if differentiable:
         from raymarchrenderer_tpu.diff.march import (march_diff,
-                                                     march_diff_fused)
-        if march_impl == "fused":
+                                                     march_diff_fused,
+                                                     march_diff_recorded)
+        if march_impl == "recorded":
+            # round-5 spectral recorded mode: every march is a bank
+            # lookup (kernels.record.trace_record_fused_spectral);
+            # gradients attach via the shared implicit adjoint.  Geometry
+            # is band-value independent (uniform-hemisphere directions,
+            # soft filters never absorb), so one recording serves the
+            # whole step's band/scene gradient.
+            if recorded is None:
+                raise ValueError(
+                    "march_impl='recorded' needs recorded planes")
+            march_fn = None
+        elif march_impl == "fused":
             march_fn = functools.partial(march_diff_fused, scene, cfg,
                                          interpret, params)
         else:
             march_fn = functools.partial(march_diff, scene, cfg, params)
         band = functools.partial(_apply_band_soft, edge=soft_edge)
     else:
+        if march_impl == "recorded":
+            raise ValueError("recorded mode is the differentiable "
+                             "forward; render with the fused kernel")
         band = _apply_band
 
-    def body(b, st):
+    def body(b, st, rec_b=None):
         if profile:
             o, d, wl, power, active_i, segs, msteps, hits = st
         else:
@@ -164,7 +180,12 @@ def trace_spectral(scene: Scene, params, mats: SpectralMaterials,
             segs = segs + active.astype(jnp.int32)
             msteps = msteps + steps
         elif differentiable:
-            t, mid, hitm = march_fn(o, d, ones, active)
+            if rec_b is not None:
+                t, mid, hitm = march_diff_recorded(
+                    scene, cfg, params, o, d, active,
+                    rec_b["t"], rec_b["mid"], rec_b["hit"])
+            else:
+                t, mid, hitm = march_fn(o, d, ones, active)
         else:
             t, mid, hitm = march(scene, params, cfg, o, d, ones, active)
         hitp = o + d * t
@@ -208,8 +229,27 @@ def trace_spectral(scene: Scene, params, mats: SpectralMaterials,
         zi = jnp.zeros(shape, jnp.int32)
         init = init + (zi, zi, zi)
     # peel bounce 0 (Mosaic replicated-carry relayout — see trace_rgb)
-    st0 = body(0, init)
-    out = lax.fori_loop(1, cfg.max_bounces, body, st0)
+    if recorded is not None:
+        # replay as a lax.scan over bounces with the bank slices as
+        # scanned inputs — a static unroll makes the XLA graph (and its
+        # reverse-mode double) O(max_bounces), minutes-class compiles at
+        # dryrun shapes (same lesson as trace_rgb's recorded replay)
+        st0 = body(0, init, {k: recorded[k][0] for k in
+                             ("t", "mid", "hit")})
+        if cfg.max_bounces > 1:
+            rest = {k: recorded[k][1:] for k in ("t", "mid", "hit")}
+            bs = jnp.arange(1, cfg.max_bounces, dtype=jnp.int32)
+
+            def scan_body(st, xs):
+                b, rec_b = xs
+                return body(b, st, rec_b), None
+
+            out, _ = lax.scan(scan_body, st0, (bs, rest))
+        else:
+            out = st0
+    else:
+        st0 = body(0, init)
+        out = lax.fori_loop(1, cfg.max_bounces, body, st0)
     wl, power = out[2], out[3]
     # paths that exhaust maxBounces keep their (possibly unset) wavelength —
     # wl==0 maps to black, exactly like the GLSL uint 0 → wavelengthToColor(0)
@@ -282,10 +322,23 @@ def render_patch_spp_spectral(scene: Scene, params, mats, cfg: RenderConfig,
     e = eye_vec(corners)
     eye = Vec3(jnp.broadcast_to(e.x, shape), jnp.broadcast_to(e.y, shape),
                jnp.broadcast_to(e.z, shape))
+    recorded = None
+    if march_impl == "recorded":
+        # ONE Pallas launch records every (sample, bounce) march with
+        # in-loop sample regeneration; the trace below is a pure XLA
+        # band/splat replay over the recorded geometry (round 5 — this is
+        # what lets `train --spectral` stop paying per-bounce marches)
+        from raymarchrenderer_tpu.kernels.record import (
+            trace_record_fused_spectral)
+        py2 = jnp.broadcast_to(row + oy, (1, ph, pw))[0]
+        px2 = jnp.broadcast_to(col + ox, (1, ph, pw))[0]
+        recorded = trace_record_fused_spectral(
+            scene, params, mats, cfg, corners, px2, py2, sample0,
+            n_samples=S, interpret=interpret)
     wl, power = trace_spectral(scene, params, mats, cfg, eye, d, px, py,
                                sample, differentiable=differentiable,
                                march_impl=march_impl, soft_edge=soft_edge,
-                               interpret=interpret)
+                               interpret=interpret, recorded=recorded)
     c = wavelength_to_rgb(wl) * power
     return Vec3(c.x.reshape(S, ph, pw).sum(0),
                 c.y.reshape(S, ph, pw).sum(0),

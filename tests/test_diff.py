@@ -572,3 +572,127 @@ class TestSpectralDiff:
         # ~600 at step 50)
         assert end < start - 50.0, (start, end)
         assert end > 540.0, end
+
+
+class TestRecordedEnvMap:
+    """Round-5: env-map scenes RECORD (the recorder skips the sky eval —
+    geometry only — and trace_rgb's recorded replay computes the equirect
+    gather differentiably in XLA).  Previously these scenes silently
+    downgraded to the per-bounce fused path."""
+
+    def _setup(self):
+        from raymarchrenderer_tpu.scene import builtin
+        rng = np.random.RandomState(11)
+        img = rng.uniform(0.0, 2.0, (8, 16, 3)).astype(np.float32)
+        b = builtin.SceneBuilder()
+        m = b.diffuse([0.6, 0.5, 0.4])
+        b.sphere(m, [0.0, 1.0, 0.0], 1.0)
+        b.box(m, [0.0, -0.05, 0.0], [8.0, 0.05, 8.0])
+        scene = b.build(env_image=img)
+        cfg = RenderConfig(width=64, height=32, spp=1, max_steps=96,
+                           max_bounces=3, max_dist=100.0)
+        corners = Camera(aspect=2.0).corner_rays_flat()
+        return scene, cfg, corners
+
+    def _loss(self, scene, cfg, corners, impl):
+        from raymarchrenderer_tpu.render.integrator import render_patch_spp
+
+        def loss(params):
+            c = render_patch_spp(scene, params, cfg, corners, (0, 0),
+                                 (cfg.height, cfg.width), jnp.uint32(0), 2,
+                                 differentiable=True, march_impl=impl,
+                                 interpret=True)
+            return jnp.sum(c.stack(-1) ** 2)
+        return loss
+
+    def test_env_recorded_matches_oracle(self):
+        scene, cfg, corners = self._setup()
+        base = scene.init_params()
+        l0, g0 = jax.value_and_grad(
+            self._loss(scene, cfg, corners, "oracle"))(base)
+        l1, g1 = jax.value_and_grad(
+            self._loss(scene, cfg, corners, "recorded"))(base)
+        # the two march implementations differ at ulp level, and a hit
+        # point shifted by an ulp moves the bounce direction's bilinear
+        # sky weights — redistributing ~1e-3 of a texel's gradient to its
+        # neighbor (measured max rel 1.2e-3 on 1.3% of texels); the same
+        # class as the documented NEE divergence above
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=1e-4)
+        # the env texture itself must receive gradient through the replay
+        genv = np.asarray(g1["env"]["image"])
+        assert genv.shape == (8, 16, 3) and np.isfinite(genv).all()
+        assert float(np.abs(genv).sum()) > 0.0
+
+
+class TestSpectralRecorded:
+    """Round-5: the spectral recorder (ONE Pallas launch for every
+    (sample, bounce) march) + XLA band/splat replay must produce the same
+    loss and gradients — scene params AND band-table rows — as the
+    per-bounce differentiable spectral path."""
+
+    def test_spectral_recorded_grads_match_oracle(self):
+        from raymarchrenderer_tpu.render.spectral_integrator import (
+            SpectralMaterials, render_patch_spp_spectral, spectral_demo)
+        scene, params, mats = spectral_demo()
+        cfg = RenderConfig(width=64, height=32, max_steps=96,
+                           max_bounces=3, max_dist=100.0)
+        corners = Camera(aspect=2.0).corner_rays_flat()
+
+        def loss(impl):
+            def f(fit):
+                p, bands = fit
+                m = SpectralMaterials(bands[0], bands[1], bands[2],
+                                      mats.kind)
+                c = render_patch_spp_spectral(
+                    scene, p, m, cfg, corners, (0, 0),
+                    (cfg.height, cfg.width), jnp.uint32(0), 2,
+                    differentiable=True, march_impl=impl, interpret=True)
+                return jnp.sum(c.stack(-1) ** 2)
+            return f
+
+        fit = (params, (mats.min_wave, mats.max_wave, mats.power))
+        l0, g0 = jax.value_and_grad(loss("oracle"))(fit)
+        l1, g1 = jax.value_and_grad(loss("recorded"))(fit)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=1e-5)
+        # band-row gradients must be live (the spectral fit variables)
+        g_bands = jax.tree.leaves(g1[1])
+        assert any(float(np.abs(np.asarray(g)).sum()) > 0 for g in g_bands)
+
+
+class TestDispersionRecorded:
+    """Round-5: dispersion (separateChannels, `RayMarch.glsl:580-598`)
+    records — the megakernel's (sample, channel) path enumeration banks
+    per-channel geometry and the replay's channel loop slices it."""
+
+    def test_dispersion_recorded_grads_match_oracle(self):
+        from raymarchrenderer_tpu.render.integrator import render_patch_spp
+        from raymarchrenderer_tpu.scene.builtin import glass_demo
+        scene = glass_demo()
+        cfg = RenderConfig(width=64, height=32, max_steps=96,
+                           max_bounces=3, max_dist=100.0,
+                           separate_channels=True)
+        corners = Camera(aspect=2.0).corner_rays_flat()
+        base = scene.init_params()
+
+        def loss(impl):
+            def f(params):
+                c = render_patch_spp(scene, params, cfg, corners, (0, 0),
+                                     (cfg.height, cfg.width),
+                                     jnp.uint32(0), 2,
+                                     differentiable=True, march_impl=impl,
+                                     interpret=True)
+                return jnp.sum(c.stack(-1) ** 2)
+            return f
+
+        l0, g0 = jax.value_and_grad(loss("oracle"))(base)
+        l1, g1 = jax.value_and_grad(loss("recorded"))(base)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=1e-4)
