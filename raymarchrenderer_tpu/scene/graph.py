@@ -317,13 +317,21 @@ class Scene:
         fx = x - x0f
         fy = y - y0f
         x0 = jnp.mod(x0f.astype(jnp.int32), w)          # wrap in phi
-        x1 = jnp.mod(x0 + 1, w)
         y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)  # clamp at poles
-        y1 = jnp.clip(y0 + 1, 0, h - 1)
-        t00 = jnp.take(flat, y0 * w + x0, axis=0)
-        t10 = jnp.take(flat, y0 * w + x1, axis=0)
-        t01 = jnp.take(flat, y1 * w + x0, axis=0)
-        t11 = jnp.take(flat, y1 * w + x1, axis=0)
+        # ONE take per lookup (round 5): XLA:TPU gather cost scales with
+        # the NUMBER of gather ops, not bytes — a quad-footprint table
+        # whose row (y, x) holds the whole 2x2 bilinear footprint
+        # (12 floats, phi-wrap + pole-clamp baked into the padding) runs
+        # 55 M lookups/s vs 28 M for four takes, texels BITWISE-identical
+        # (tools/env_gather_probe2.py / output/bench_tpu_r5.json).
+        img_pad = jnp.concatenate([img, img[:, :1]], axis=1)
+        img_pad = jnp.concatenate([img_pad, img_pad[-1:]], axis=0)
+        quad = jnp.concatenate([img_pad[:-1, :-1], img_pad[:-1, 1:],
+                                img_pad[1:, :-1], img_pad[1:, 1:]],
+                               axis=-1)
+        r = jnp.take(quad.reshape(h * w, 12), y0 * w + x0, axis=0)
+        t00, t10 = r[..., 0:3], r[..., 3:6]
+        t01, t11 = r[..., 6:9], r[..., 9:12]
         fx = fx[..., None]
         fy = fy[..., None]
         texel = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)

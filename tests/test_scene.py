@@ -313,3 +313,48 @@ class TestSpectralSceneFormat:
                                  spp=2)
         np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
         assert float(jnp.max(img)) > 0.0
+
+
+def test_env_exact_quad_table_bitwise():
+    """Round-5 exact-path speedup: the quad-footprint single-take lookup
+    must return BITWISE the texels/values of the four-take GL_LINEAR
+    formula (wrap in phi, clamp at poles, centers at +0.5)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raymarchrenderer_tpu.scene import builtin
+
+    rng = np.random.RandomState(3)
+    img = rng.uniform(0.0, 2.0, (8, 16, 3)).astype(np.float32)
+    b = builtin.SceneBuilder()
+    m = b.diffuse([0.5, 0.5, 0.5])
+    b.sphere(m, [0, 1, 0], 1.0)
+    scene = b.build(env_image=img, env_filter="linear", env_gather="exact")
+    params = scene.init_params()
+    h, w = 8, 16
+    n = 4096
+    u = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    v = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    got = scene.sky_uv(params, u, v)
+
+    # the reference 4-take formula, including the pole/wrap edge cases
+    flat = img.reshape(h * w, 3)
+    x = np.asarray(u) * w - 0.5
+    y = np.clip(np.asarray(v) * h - 0.5, 0.0, h - 1.0)
+    x0f = np.floor(x).astype(np.float32)
+    y0f = np.floor(y).astype(np.float32)
+    fx = (x - x0f)[:, None]
+    fy = (y - y0f)[:, None]
+    x0 = np.mod(x0f.astype(np.int32), w)
+    x1 = np.mod(x0 + 1, w)
+    y0 = np.clip(y0f.astype(np.int32), 0, h - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    t00 = flat[y0 * w + x0]
+    t10 = flat[y0 * w + x1]
+    t01 = flat[y1 * w + x0]
+    t11 = flat[y1 * w + x1]
+    want = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
+            + (t01 * (1 - fx) + t11 * fx) * fy).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(got.x), np.asarray(got.y),
+                  np.asarray(got.z)], -1), want)

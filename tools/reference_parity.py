@@ -45,7 +45,6 @@ render at the reduced size, for CPU-budget runs).
 """
 from __future__ import annotations
 
-import json
 import os
 import sys
 
@@ -53,117 +52,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REF_DIR = "/root/reference/RayMarch Renderer/output"
-REF_SCENE = "/root/reference/RayMarch Renderer/data/scenes/default.scene"
-
-# the pose fixed by the 2015 goldens (see module docstring)
-GOLDEN_EYE = (0.0, 4.0, -6.0)
-GOLDEN_DIR = (0.0, -4.0, 6.0)
-
-
-def luma(u8):
-    f = u8.astype(np.float32) / 255.0
-    return 0.2126 * f[..., 0] + 0.7152 * f[..., 1] + 0.0722 * f[..., 2]
-
-
-def ssim(a, b):
-    """Global SSIM on float [0,1] images (single window -- the standard
-    constants C1/C2, no sliding window: converged-vs-converged comparison
-    wants a scalar, and Monte-Carlo residue defeats 8x8 windows anyway)."""
-    c1, c2 = 0.01 ** 2, 0.03 ** 2
-    ma, mb = a.mean(), b.mean()
-    va, vb = a.var(), b.var()
-    cov = ((a - ma) * (b - mb)).mean()
-    return float(((2 * ma * mb + c1) * (2 * cov + c2))
-                 / ((ma ** 2 + mb ** 2 + c1) * (va + vb + c2)))
-
-
-def _label_components(mask):
-    """8-connected component labels — scipy.ndimage when present, else a
-    pure-numpy flood fill (the parity gate must not grow silent hard
-    deps; scipy is declared in the [test] extra but absent from minimal
-    installs)."""
-    try:
-        from scipy import ndimage
-        lab, n = ndimage.label(mask, structure=np.ones((3, 3), int))
-        return lab, n
-    except ImportError:
-        lab = np.zeros(mask.shape, np.int32)
-        n = 0
-        todo = np.argwhere(mask)
-        seen = np.zeros(mask.shape, bool)
-        for y0, x0 in todo:
-            if seen[y0, x0]:
-                continue
-            n += 1
-            stack = [(y0, x0)]
-            seen[y0, x0] = True
-            while stack:
-                y, x = stack.pop()
-                lab[y, x] = n
-                for dy in (-1, 0, 1):
-                    for dx in (-1, 0, 1):
-                        yy, xx = y + dy, x + dx
-                        if (0 <= yy < mask.shape[0]
-                                and 0 <= xx < mask.shape[1]
-                                and mask[yy, xx] and not seen[yy, xx]):
-                            seen[yy, xx] = True
-                            stack.append((yy, xx))
-        return lab, n
-
-
-def _largest_component_mask(u8, chan):
-    """The ONE detector both the centroid and its bbox gate share:
-    ratio-dominance mask at a low brightness floor, largest 8-connected
-    component (see channel_centroid's docstring for why)."""
-    f = u8.astype(np.float32)
-    o1, o2 = [c for c in range(3) if c != chan]
-    mask = (f[..., chan] > 20) & (f[..., chan] > 1.3 * f[..., o1]) \
-        & (f[..., chan] > 1.3 * f[..., o2])
-    if not mask.any():
-        return None
-    lab, n = _label_components(mask)
-    sizes = np.bincount(lab.ravel(), minlength=n + 1)[1:]
-    return lab == (1 + int(np.argmax(sizes)))
-
-
-def channel_centroid(u8, chan):
-    """Centroid of the LARGEST CONNECTED region dominated by one channel.
-    chan 0 finds the matID-2 red sphere, chan 1 the matID-4 green glass
-    panel.
-
-    Round-3 fix (the "273 px" artifact of round 2): the old detector used
-    an absolute brightness threshold (>96) with a 1.6x dominance ratio —
-    on the dark 2015 BMP the panel FACE (~(0,30,0)) fell below it, so the
-    ref mask was only the panel's bright rim, while on our (brighter —
-    the lost `veranda_1k.hdr`) render the mask scattered over green
-    transmitted light on the floor.  Both biases grew with resolution and
-    convergence, moving the "centroid" hundreds of px while the actual
-    silhouettes overlapped.  The fixed detector is brightness-robust
-    (ratio dominance at a low floor) and takes the largest 8-connected
-    component — the object body, not scattered glow."""
-    big = _largest_component_mask(u8, chan)
-    if big is None:
-        return None
-    ys, xs = np.nonzero(big)
-    return float(xs.mean()), float(ys.mean())
-
-
-def channel_bbox(u8, chan):
-    """(x0, y0, x1, y1) bounding box of the same largest component
-    `channel_centroid` selects."""
-    big = _largest_component_mask(u8, chan)
-    if big is None:
-        return None
-    ys, xs = np.nonzero(big)
-    return float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())
-
-
-def dist(a, b):
-    if a is None or b is None:
-        return None
-    return float(np.hypot(a[0] - b[0], a[1] - b[1]))
-
+# implementation lives in the PACKAGE (round-5: the `parity` verb must
+# work from a wheel install too — the gated goldens ship downscaled as
+# package data).  This tool remains the source-checkout entry point: with
+# the reference mount present it gates the FULL-RESOLUTION BMPs, and it
+# adds the camera-fit diagnostic below.
+from raymarchrenderer_tpu.utils.parity import (  # noqa: F401  (re-exports
+    GATED_GOLDENS, GOLDEN_DIR, GOLDEN_EYE, REF_DIR, REF_SCENE,    # for the
+    channel_bbox, channel_centroid, dist, gate_one, load_golden,  # CI twin
+    luma, run_parity, ssim)
 
 # object anchors from the reference's own default.scene: the matID-2 red
 # sphere center and the center of the matID-4 glass panel's visible (+x)
@@ -210,7 +107,10 @@ def fit_golden_camera(ref_red, ref_green, w, h):
     HEAD (0,4,-6) — by least-squares matching the ANALYTIC projections
     of the two scene anchors to the golden image's detected centroids
     (4 constraints, 3 parameters; the whole-silhouette overlap of the
-    final render is the held-out validation)."""
+    final render is the held-out validation).  A DIAGNOSTIC:
+    docs/reference_parity.md shows no pinhole camera of this family
+    reproduces the 2015 anchor layout, so the gates run from the
+    hand-estimated look-at-origin pose instead."""
     from raymarchrenderer_tpu.core.camera import Camera
     best, best_err = None, float("inf")
     aspect = w / h
@@ -234,127 +134,17 @@ def fit_golden_camera(ref_red, ref_green, w, h):
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-
-    from raymarchrenderer_tpu.core.camera import Camera
-    from raymarchrenderer_tpu.io.image import load_bmp, save_png, to_srgb_u8
-    from raymarchrenderer_tpu.render.config import RenderConfig
-    from raymarchrenderer_tpu.scene.graph import load_scene
-
-    platform = jax.devices()[0].platform
-    spp = int(os.environ.get("PARITY_SPP",
-                             "2048" if platform == "tpu" else "64"))
-    ref_name = os.environ.get("PARITY_REF", "2015-07-12_23-07")
-    ref = load_bmp(os.path.join(REF_DIR, ref_name + ".bmp"))
-    f = int(os.environ.get("PARITY_SCALE", "1"))
-    if f > 1:
-        H, W = ref.shape[:2]
-        h, w = H // f, W // f
-        ref = ref[:h * f, :w * f].reshape(h, f, w, f, 3) \
-            .mean(axis=(1, 3)).astype(np.uint8)
-    h, w = ref.shape[:2]
-
-    scene = load_scene(REF_SCENE)
-    params = scene.init_params()
-    cfg = RenderConfig(width=w, height=h, max_bounces=16, max_steps=512,
-                       relax_omega=1.9, normal_taps=4)
-    # GATE pose: the round-2 hand-estimated look-at-origin camera — the
-    # configuration that produced (and bit-for-bit reproduces) the
-    # committed passing artifact.  PARITY_FIT_CAMERA=1 instead recovers
-    # a camera by grid-fitting the two anchor projections — a DIAGNOSTIC:
-    # docs/reference_parity.md shows no pinhole camera of this family
-    # reproduces the 2015 anchor layout, so the 2-anchor fit lands on a
-    # pose (anchor_rms ~39 px) whose whole-silhouette agreement is WORSE
-    # than the hand pose's, and the gates fail under it by design of the
-    # gates, not regression of the renderer.
-    ref_red0 = channel_centroid(ref, 0)
-    ref_green0 = channel_centroid(ref, 1)
+    camera = None
     if os.environ.get("PARITY_FIT_CAMERA", "0") == "1":
-        cam, fit_rms = fit_golden_camera(ref_red0, ref_green0, w, h)
-    else:
-        cam = Camera(eye=GOLDEN_EYE, direction=GOLDEN_DIR, aspect=w / h)
-        fit_rms = None
-    corners = cam.corner_rays_flat()
-
-    if platform == "tpu":
-        from raymarchrenderer_tpu.kernels.march import render_fused
-        # 720 rows tile by 16; chunk the spp so one launch stays ~seconds
-        chunk, n, img = 64, 0, jnp.zeros((h, w, 3), jnp.float32)
-        while n < spp:
-            k = min(chunk, spp - n)
-            c = render_fused(scene, params, cfg, corners, jnp.uint32(n),
-                             n_samples=k, block=(16, 128))
-            img = (img * n + c * k) / (n + k)
-            n += k
-    else:
-        from raymarchrenderer_tpu.render.integrator import render
-        img, n = render(scene, params, cfg, corners, spp=spp)
-    ours = to_srgb_u8(np.asarray(img))
-
-    la, lb = luma(ref), luma(ours)
-    r = float(np.corrcoef(la.ravel(), lb.ravel())[0, 1])
-    s = ssim(la, lb)
-    red_ref = channel_centroid(ref, 0)
-    red_our = channel_centroid(ours, 0)
-    green_ref = channel_centroid(ref, 1)
-    green_our = channel_centroid(ours, 1)
-
-    side = np.concatenate([ref, ours], axis=1)
-    os.makedirs("output", exist_ok=True)
-    # already sRGB u8 -- writing through save_png's OETF would double
-    # encode; decode to linear first so it round-trips
-    from raymarchrenderer_tpu.io.image import _srgb_to_linear_np
-    save_png("output/reference_parity.png",
-             _srgb_to_linear_np(side.astype(np.float32) / 255.0))
-
-    # pass/fail gates (round-2 weak #5: the artifact must be able to
-    # FAIL).  Red gate is tight (compact central silhouette).  The green
-    # panel is the most camera-sensitive object in the frame, and
-    # docs/reference_parity.md documents (with an exhaustive pose-fit)
-    # that NO pinhole camera of this renderer's family reproduces the
-    # 2015 goldens' anchor layout — the ~130 px body-centroid offset is a
-    # 2015-camera-model delta, not transport.  The gates therefore bound
-    # the RESIDUAL against regression: the green body centroid must stay
-    # inside the reference panel's (padded) bounding box — the round-2
-    # failure shape (the detector wandering to floor glow at y≈567) fails
-    # this — and within the documented camera-delta budget.
-    rd = dist(red_ref, red_our)
-    gd = dist(green_ref, green_our)
-    gbox = channel_bbox(ref, 1)
-    in_box = None
-    if gbox is not None and green_our is not None:
-        pad_x = 0.15 * (gbox[2] - gbox[0]) + 8
-        pad_y = 0.15 * (gbox[3] - gbox[1]) + 8
-        in_box = (gbox[0] - pad_x <= green_our[0] <= gbox[2] + pad_x
-                  and gbox[1] - pad_y <= green_our[1] <= gbox[3] + pad_y)
-    gates = {
-        "red_centroid_lt_20px": rd is not None and rd < 20.0,
-        "green_centroid_in_ref_panel_bbox": bool(in_box),
-        "green_centroid_lt_150px": gd is not None and gd < 150.0,
-    }
-    ok = all(gates.values())
-
-    print(json.dumps({
-        "ref": ref_name, "size": [w, h], "spp": int(n), "platform": platform,
-        "camera_fit": (None if fit_rms is None else {
-            "direction": [round(c, 5) for c in cam.direction],
-            "fov": round(cam.fov, 5),
-            "anchor_rms_px": round(fit_rms, 2)}),
-        "luma_pearson_r": round(r, 4),
-        "ssim_luma": round(s, 4),
-        "red_sphere_centroid_ref": red_ref,
-        "red_sphere_centroid_ours": red_our,
-        "red_centroid_dist_px": None if rd is None else round(rd, 2),
-        "green_panel_centroid_ref": green_ref,
-        "green_panel_centroid_ours": green_our,
-        "green_centroid_dist_px": None if gd is None else round(gd, 2),
-        "mean_luma_ref": round(float(la.mean()), 4),
-        "mean_luma_ours": round(float(lb.mean()), 4),
-        "gates": gates,
-        "pass": ok,
-    }))
-    return 0 if ok else 1
+        names = list(GATED_GOLDENS)
+        f = int(os.environ.get("PARITY_SCALE", "1"))
+        ref = load_golden(os.environ.get("PARITY_REF", names[0]), f)
+        h, w = ref.shape[:2]
+        camera, fit_rms = fit_golden_camera(channel_centroid(ref, 0),
+                                            channel_centroid(ref, 1), w, h)
+        print(f"camera fit (diagnostic): dir={camera.direction} "
+              f"fov={camera.fov:.4f} anchor_rms={fit_rms:.2f}px")
+    return run_parity(camera=camera)
 
 
 if __name__ == "__main__":
