@@ -346,6 +346,8 @@ def _record_mega(scene: Scene, params, cfg: RenderConfig, corners, px, py,
                                   ksample, ch, n_samples=S,
                                   shade_gate=0.0,
                                   march_unroll=march_unroll,
+                                  regen_cadence=(0 if march_unroll == 1
+                                                 else 16),
                                   dispersion=disp,
                                   direct_light=direct_light,
                                   record_banks=True)
@@ -471,6 +473,8 @@ def trace_record_fused_spectral(scene: Scene, params, mats,
                                      pxr[:], pyr[:], s0, n_samples=S,
                                      shade_gate=0.0,
                                      march_unroll=march_unroll,
+                                     regen_cadence=(0 if march_unroll == 1
+                                                    else 16),
                                      record_banks=True)
         t_ref[:] = rec[0]
         mid_ref[:] = rec[1]

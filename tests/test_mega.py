@@ -382,3 +382,38 @@ class TestRound4ScheduleKnobs:
             mega.trace_mega_paths(scene, params, CFG, corners, px, py,
                                   jnp.uint32(0), ch, record_banks=True,
                                   lazy_miss=True)
+
+
+def test_record_banks_bitwise_under_cadence():
+    """Round-5: regen_cadence is enabled for RECORDING (the recording
+    kernel is 73% of the train step) — it is pure scheduling, so the
+    banked (t, mid, hit[, sd]) planes must be ARRAY-equal to the
+    strict-schedule recording."""
+    from raymarchrenderer_tpu.scene.builtin import csg_demo
+    scene = csg_demo()
+    params = scene.init_params()
+    cfg = CFG.replace(max_bounces=4)
+    corners = Camera(aspect=1.0).corner_rays_flat()
+    px, py = pixel_grid(cfg.width, cfg.height)
+    ch = Vec3.full((cfg.height, cfg.width), 1.0, 1.0, 1.0)
+
+    def rec(cad):
+        _, banks = mega.trace_mega_paths(
+            scene, params, cfg, corners, px, py, jnp.uint32(0), ch,
+            n_samples=2, shade_gate=0.0, march_unroll=32,
+            regen_cadence=cad, direct_light=True, record_banks=True)
+        return banks
+
+    a = rec(0)
+    b = rec(16)
+    assert len(a) == len(b) == 4  # t, mid, hit, sd (NEE)
+    # scheduling-identical: the same per-lane values computed at a
+    # different unrolled-step position.  XLA fuses different unroll
+    # positions slightly differently, so a grazing lane's t chain can
+    # contract to a 1-ulp different value (measured: 1 element of 18432
+    # at 3e-8) — the standard cross-compilation class, NOT an estimator
+    # change; ids/hit/visibility must stay exactly equal.
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               rtol=1e-6, atol=1e-6)
+    for x, y in zip(a[1:], b[1:]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -74,10 +74,30 @@ def main():
     # the target: a converged-ish render of perturbed geometry
     target = fwd(params, corners, jnp.uint32(64))
 
-    def step(p, s):
-        return train_step_sharded(scene, p, cfg, corners, target, mesh,
-                                  spp=spp, lr=1e-3, march_impl=impl,
-                                  interpret=interpret, remat=remat)
+    spectral = os.environ.get("TRAIN_MODE", "rgb") == "spectral"
+    if spectral:
+        # round-5: the spectral train step on the RECORDED forward —
+        # the datapoint behind "train --spectral stops paying per-bounce
+        # marches" (TRAIN_IMPL=oracle/fused time the old per-bounce path)
+        from raymarchrenderer_tpu.parallel.sharding import (
+            train_step_spectral_sharded)
+        from raymarchrenderer_tpu.render.spectral_integrator import (
+            band_table)
+        mats = band_table(scene)
+
+        def step(p, s):
+            loss, np_, nm = train_step_spectral_sharded(
+                scene, p, mats, cfg, corners, target, mesh, spp=spp,
+                lr=1e-3, march_impl=impl, interpret=interpret,
+                sample0=s * spp)
+            return loss, np_
+
+    else:
+        def step(p, s):
+            return train_step_sharded(scene, p, cfg, corners, target,
+                                      mesh, spp=spp, lr=1e-3,
+                                      march_impl=impl,
+                                      interpret=interpret, remat=remat)
 
     with mesh:
         # pre-place replicated so step 1 compiles with the same input
@@ -93,32 +113,62 @@ def main():
             times.append(time.perf_counter() - t0)
         # forward HALF of the same program (identical differentiable-mode
         # trace + loss, no grad): the honest backward-overhead denominator
-        jax.block_until_ready(train_loss_sharded(
-            scene, params, cfg, corners, target, mesh, spp=spp,
-            march_impl=impl, interpret=interpret))
+        loss_dt = None
+        if not spectral:
+            jax.block_until_ready(train_loss_sharded(
+                scene, params, cfg, corners, target, mesh, spp=spp,
+                march_impl=impl, interpret=interpret))
+            t0 = time.perf_counter()
+            jax.block_until_ready(train_loss_sharded(
+                scene, p, cfg, corners, target, mesh, spp=spp,
+                march_impl=impl, interpret=interpret))
+            loss_dt = time.perf_counter() - t0
+    rec_dt = None
+    if (impl == "recorded" and not spectral
+            and os.environ.get("TRAIN_DECOMP", "0") == "1"):
+        # decomposition (round-5 verdict item 5): time the RECORDING
+        # kernel alone — step = recording + XLA replay(fwd) + backward,
+        # so (loss_dt - rec_dt) is the replay and (dt - loss_dt) the
+        # backward; committed as output/train_profile_r5.json
+        from raymarchrenderer_tpu.kernels.record import trace_record_fused
+        from raymarchrenderer_tpu.render.raygen import pixel_grid
+        px, py = pixel_grid(size, size)
+        rec = jax.jit(lambda p: trace_record_fused(
+            scene, p, cfg, None, None, px, py, jnp.uint32(0),
+            interpret=interpret, corners=corners, mode="mega",
+            n_samples=spp))
+        jax.block_until_ready(rec(params))
         t0 = time.perf_counter()
-        jax.block_until_ready(train_loss_sharded(
-            scene, p, cfg, corners, target, mesh, spp=spp,
-            march_impl=impl, interpret=interpret))
-        loss_dt = time.perf_counter() - t0
+        jax.block_until_ready(rec(params))
+        rec_dt = time.perf_counter() - t0
     dt = min(times)
     mpix_spp_s = size * size * spp / dt / 1e6
     fwd_rate = size * size * spp / fwd_dt / 1e6
-    loss_rate = size * size * spp / loss_dt / 1e6
+    loss_rate = (None if loss_dt is None
+                 else size * size * spp / loss_dt / 1e6)
     print(json.dumps({
         "metric": "train-step Mpix*spp/s @ %dx%d spp=%d bounces=%d "
-                  "(mesh=%dx%d, %s)" % (size, size, spp, bounces, tile,
-                                        n // tile, platform),
+                  "(mesh=%dx%d, %s%s)" % (size, size, spp, bounces, tile,
+                                          n // tile, platform,
+                                          ", spectral" if spectral else ""),
         "value": round(mpix_spp_s, 3),
         "unit": "Mpix*spp/s",
         "forward_fused_mpix_spp_s": round(fwd_rate, 3),
-        "forward_loss_mpix_spp_s": round(loss_rate, 3),
+        "forward_loss_mpix_spp_s": (None if loss_rate is None
+                                    else round(loss_rate, 3)),
         "train_vs_megakernel_forward": round(fwd_rate / mpix_spp_s, 2),
-        "backward_overhead_vs_own_forward": round(loss_rate / mpix_spp_s, 2),
+        "backward_overhead_vs_own_forward": (
+            None if loss_rate is None
+            else round(loss_rate / mpix_spp_s, 2)),
         "remat": remat,
         "march_impl": impl,
         "loss": round(float(loss), 6),
         "wall_s": round(dt, 3),
+        **({} if rec_dt is None else {"decomposition_s": {
+            "recording_kernel": round(rec_dt, 4),
+            "xla_replay_forward": round(loss_dt - rec_dt, 4),
+            "backward_and_update": round(dt - loss_dt, 4),
+            "total_step": round(dt, 4)}}),
     }))
 
 
