@@ -119,3 +119,28 @@ class TestReferenceParity:
         _, ours, _ = rendered_pair
         lum = ours.astype(np.float32).mean(-1)
         assert np.median(lum[75:, :]) > np.median(lum[:8, :]) + 20
+
+
+@needs_reference
+def test_packaged_parity_fallback(monkeypatch, tmp_path, capsys):
+    """Round-5: the `parity` verb must work from a WHEEL install — with
+    the reference mount absent, the packaged x4 goldens + the geometric
+    parity twin scene drive the same gates.  Low-spp run: asserts the
+    packaged pipeline and the geometry gates (luma floors need the
+    converged on-chip run, output/reference_parity_tpu.json)."""
+    import json
+
+    from raymarchrenderer_tpu.utils import parity
+
+    monkeypatch.setattr(parity, "REF_DIR", "/nonexistent")
+    monkeypatch.setattr(parity, "REF_SCENE", "/nonexistent/x.scene")
+    monkeypatch.setenv("PARITY_SPP", "4")
+    parity.run_parity(out_dir=str(tmp_path))
+    out = capsys.readouterr().out
+    d = json.loads(out.strip().splitlines()[-1])
+    assert d["reference_mount"] is False
+    assert len(d["goldens"]) == 3
+    for g in d["goldens"]:
+        assert g["gates"]["red_centroid_lt_20px"], g
+        assert g["gates"]["green_centroid_in_ref_panel_bbox"], g
+    assert (tmp_path / "reference_parity.png").exists()
