@@ -515,6 +515,12 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="raymarchrenderer_tpu",
         description="TPU-native differentiable sphere-tracing path tracer")
+    p.add_argument("--no-cache", action="store_true",
+                   help="disable the persistent XLA compilation cache")
+    p.add_argument("--cache-dir", default=None,
+                   help="persistent compilation cache location (default "
+                        "~/.cache/raymarchrenderer_tpu/jax-cache; see "
+                        "utils/cache.py)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pr = sub.add_parser("render", help="render a scene to an image")
@@ -558,6 +564,12 @@ def main(argv=None) -> int:
     pv.set_defaults(fn=cmd_viewer)
 
     args = p.parse_args(argv)
+    if not args.no_cache:
+        # before any jax.jit: repeat renders at a (shape, schedule) skip
+        # the ~20-40s XLA compile (utils/cache.py; the reference instead
+        # recompiles its shader every reload, Graphics.cpp:741-742)
+        from raymarchrenderer_tpu.utils.cache import enable_persistent_cache
+        enable_persistent_cache(args.cache_dir)
     return args.fn(args)
 
 

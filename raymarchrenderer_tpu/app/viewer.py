@@ -412,6 +412,8 @@ def make_server(port: int = 8000, host: str = "127.0.0.1",
 
 
 def serve(port: int = 8000, host: str = "127.0.0.1") -> None:
+    from raymarchrenderer_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()  # no-op if RAYMARCH_NO_CACHE=1 / unavailable
     srv = make_server(port, host)
     print(f"viewer at http://{host}:{srv.server_address[1]}/")
     try:

@@ -124,3 +124,49 @@ def test_pick_impl_fused_for_any_size_on_tpu(monkeypatch):
     assert cli._pick_impl(args, None) == "fused"
     args = argparse.Namespace(impl="oracle", width=1280, height=720)
     assert cli._pick_impl(args, None) == "oracle"
+
+
+def test_persistent_compile_cache(tmp_path, monkeypatch):
+    """`render` wires the persistent XLA compilation cache (utils/cache.py)
+    so repeat CLI invocations skip the 20-40s TPU compile: the cache dir
+    must gain entries after a render, `--no-cache`/RAYMARCH_NO_CACHE must
+    leave the config untouched."""
+    import jax
+
+    from raymarchrenderer_tpu.app import cli
+    from raymarchrenderer_tpu.utils import cache as ucache
+
+    prev = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    cdir = tmp_path / "jaxcache"
+    monkeypatch.setenv("RAYMARCH_CACHE_DIR", str(cdir))
+    monkeypatch.setenv("RAYMARCH_CACHE_MIN_SECS", "0")  # tiny CPU compiles
+    try:
+        # disabled paths: env kill-switch, then the CLI flag
+        monkeypatch.setenv("RAYMARCH_NO_CACHE", "1")
+        assert ucache.enable_persistent_cache() is None
+        monkeypatch.delenv("RAYMARCH_NO_CACHE")
+        assert jax.config.jax_compilation_cache_dir == prev
+
+        rc = cli.main(["--no-cache", "render", "--scene", "single_sphere",
+                       "--width", "40", "--height", "24", "--spp", "1",
+                       "--max-steps", "16", "--max-bounces", "1",
+                       "--out", str(tmp_path / "a.npy")])
+        assert rc == 0
+        assert jax.config.jax_compilation_cache_dir == prev
+        assert not cdir.exists()
+
+        # enabled: the front door points jax at the dir and a render
+        # populates it (a size nothing else compiled, so the compile
+        # can't be an in-process jit-cache hit)
+        rc = cli.main(["render", "--scene", "single_sphere",
+                       "--width", "56", "--height", "24", "--spp", "1",
+                       "--max-steps", "16", "--max-bounces", "1",
+                       "--out", str(tmp_path / "b.npy")])
+        assert rc == 0
+        assert jax.config.jax_compilation_cache_dir == str(cdir)
+        assert any(cdir.iterdir()), "no cache entries written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)

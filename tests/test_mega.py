@@ -378,7 +378,7 @@ class TestRound4ScheduleKnobs:
         corners = Camera(aspect=1.0).corner_rays_flat()
         px, py = pixel_grid(8, 8)
         ch = Vec3.full((8, 8), 1.0, 1.0, 1.0)
-        with pytest.raises(ValueError, match="strict schedule"):
+        with pytest.raises(ValueError, match="strict miss schedule"):
             mega.trace_mega_paths(scene, params, CFG, corners, px, py,
                                   jnp.uint32(0), ch, record_banks=True,
                                   lazy_miss=True)
