@@ -147,6 +147,8 @@ class ViewerState:
         self.scene_dirs = scene_dirs
         self.camera = None         # persistent interactive pose
         self._last_req = {}        # re-rendered on camera ops
+        self._ever_started = False  # camera ops before the first render
+        #                             only pose — they must not launch one
         self._cancel = threading.Event()
         self._thread = None
 
@@ -166,6 +168,7 @@ class ViewerState:
     def start(self, req: dict):
         self.stop()
         self._last_req = dict(req)
+        self._ever_started = True
         self._cancel.clear()
         with self.lock:
             # mark the restart SYNCHRONOUSLY: the worker thread takes a
@@ -202,9 +205,12 @@ class ViewerState:
             else:
                 raise ValueError(f"unknown camera op: {kind!r}")
             pose = {"eye": list(cam.eye), "direction": list(cam.direction)}
-            req = dict(self._last_req)
-        # restart the progressive buffer under the new pose
-        self.start(req)
+            req = dict(self._last_req) if self._ever_started else None
+        if req is not None:
+            # restart the progressive buffer under the new pose
+            self.start(req)
+        # before any render: just move the pose — do NOT launch an
+        # unrequested render of the default scene
         return pose
 
     def stop(self):

@@ -78,10 +78,6 @@ def trace_record_fused(scene: Scene, params, cfg: RenderConfig, eye: Vec3,
     per-lane bounce progression, shadow marches as extra segments) — on a
     v5e this runs ~4× the bounce-synchronous `mode="wavefront"` fallback,
     whose per-bounce tile barriers cost Σ_b max_lanes(steps_b)."""
-    if cfg.separate_channels and mode not in ("mega", "auto"):
-        raise NotImplementedError(
-            "dispersion recording enumerates (sample, channel) paths — a "
-            "megakernel-schedule mode (mode='mega')")
     if scene.has_env_map:
         # round-5: env-map scenes record too.  The recorder traces
         # GEOMETRY only (t, mid, hit[, sd]) — the color output is

@@ -40,8 +40,16 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
         or default_cache_dir()
     try:
         import jax
+        from jax.experimental.compilation_cache import (compilation_cache as
+                                                        _cc)
         os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path)
+        # config.update alone does NOT re-point a cache backend that a
+        # previous compile already initialized — reset it so the new dir
+        # actually takes effect mid-process
+        changed = jax.config.jax_compilation_cache_dir != path
+        _cc.set_cache_dir(path)
+        if changed:
+            _cc.reset_cache()
         # cache EVERY compile (threshold 0): on remote-attached TPUs even
         # a scalar op's compile is an ~0.4s round trip, and a CLI render
         # issues a dozen of those before the kernel — they are exactly as

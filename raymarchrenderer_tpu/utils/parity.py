@@ -214,10 +214,18 @@ def scene_path() -> str:
     return os.path.join(_PKG_DATA, "parity", "default_parity.scene")
 
 
-def gate_one(ref_name: str, ref, ours, spec: dict) -> dict:
+def gate_one(ref_name: str, ref, ours, spec: dict, f: int = 1) -> dict:
     """Gate ONE golden against the (shared) render: geometry gates
     (centroids/bbox — the 2015 pose is common to every era) plus the
-    per-era luma-correlation floor."""
+    per-era luma-correlation floor.
+
+    `f` is the downscale factor the images were rendered/compared at;
+    every pixel budget in the spec (and in the gate NAMES) is expressed
+    in FULL-RESOLUTION pixels and divided by `f` before comparison, so
+    the packaged x4 gates are exactly as tight as the source-checkout
+    full-res gates (review finding: unscaled budgets made the wheel
+    gates ~4x weaker — a 60-full-res-px camera drift is 15 px at x4 and
+    passed)."""
     la, lb = luma(ref), luma(ours)
     r = float(np.corrcoef(la.ravel(), lb.ravel())[0, 1])
     s = ssim(la, lb)
@@ -230,19 +238,24 @@ def gate_one(ref_name: str, ref, ours, spec: dict) -> dict:
     gbox = channel_bbox(ref, 1)
     in_box = None
     if gbox is not None and green_our is not None:
-        pad_x = 0.15 * (gbox[2] - gbox[0]) + 8
-        pad_y = 0.15 * (gbox[3] - gbox[1]) + 8
+        # relative pad scales with the (already-downscaled) bbox; the
+        # absolute anti-noise term is 8 FULL-RES px
+        pad_x = 0.15 * (gbox[2] - gbox[0]) + 8.0 / f
+        pad_y = 0.15 * (gbox[3] - gbox[1]) + 8.0 / f
         in_box = (gbox[0] - pad_x <= green_our[0] <= gbox[2] + pad_x
                   and gbox[1] - pad_y <= green_our[1] <= gbox[3] + pad_y)
     budget = spec.get("green_budget_px", 150.0)
     gates = {
-        "red_centroid_lt_20px": rd is not None and rd < 20.0,
+        # names quote full-res budgets; comparisons are /f
+        "red_centroid_lt_20px": rd is not None and rd < 20.0 / f,
         "green_centroid_in_ref_panel_bbox": bool(in_box),
-        f"green_centroid_lt_{budget:.0f}px": gd is not None and gd < budget,
+        f"green_centroid_lt_{budget:.0f}px": gd is not None
+        and gd < budget / f,
         "luma_pearson_r_floor": r >= spec.get("luma_r_min", -1.0),
     }
     return {
         "ref": ref_name,
+        "scale": f,
         "content_delta": spec.get("delta"),
         "luma_pearson_r": round(r, 4),
         "ssim_luma": round(s, 4),
@@ -311,7 +324,8 @@ def run_parity(camera=None, out_dir: str = "output") -> int:
         img, n = render(scene, params, cfg, corners, spp=spp)
     ours = to_srgb_u8(np.asarray(img))
 
-    reports = [gate_one(nm, refs[nm], ours, specs[nm]) for nm in names]
+    reports = [gate_one(nm, refs[nm], ours, specs[nm], f=f)
+               for nm in names]
 
     side = np.concatenate([refs[names[0]], ours], axis=1)
     os.makedirs(out_dir, exist_ok=True)

@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# tests drive cli.main()/viewer in-process; never let them bind the
+# persistent compile cache to the developer's real ~/.cache
+# (test_persistent_compile_cache re-enables it against a tmpdir)
+os.environ.setdefault("RAYMARCH_NO_CACHE", "1")
+
 import jax  # noqa: E402
 import pytest  # noqa: E402
 

@@ -142,8 +142,9 @@ def test_persistent_compile_cache(tmp_path, monkeypatch):
     monkeypatch.setenv("RAYMARCH_CACHE_DIR", str(cdir))
     monkeypatch.setenv("RAYMARCH_CACHE_MIN_SECS", "0")  # tiny CPU compiles
     try:
-        # disabled paths: env kill-switch, then the CLI flag
-        monkeypatch.setenv("RAYMARCH_NO_CACHE", "1")
+        # disabled path: the suite-wide kill-switch (conftest sets it so
+        # other tests' cli.main() calls never bind the real ~/.cache)
+        assert os.environ.get("RAYMARCH_NO_CACHE") == "1"
         assert ucache.enable_persistent_cache() is None
         monkeypatch.delenv("RAYMARCH_NO_CACHE")
         assert jax.config.jax_compilation_cache_dir == prev
@@ -167,6 +168,9 @@ def test_persistent_compile_cache(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir == str(cdir)
         assert any(cdir.iterdir()), "no cache entries written"
     finally:
+        from jax.experimental.compilation_cache import (compilation_cache
+                                                        as cc)
         jax.config.update("jax_compilation_cache_dir", prev)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           prev_min)
+        cc.reset_cache()  # unbind the tmpdir-backed cache instance

@@ -121,13 +121,16 @@ class TestReferenceParity:
         assert np.median(lum[75:, :]) > np.median(lum[:8, :]) + 20
 
 
-@needs_reference
 def test_packaged_parity_fallback(monkeypatch, tmp_path, capsys):
     """Round-5: the `parity` verb must work from a WHEEL install — with
     the reference mount absent, the packaged x4 goldens + the geometric
     parity twin scene drive the same gates.  Low-spp run: asserts the
     packaged pipeline and the geometry gates (luma floors need the
-    converged on-chip run, output/reference_parity_tpu.json)."""
+    converged on-chip run, output/reference_parity_tpu.json).
+
+    Deliberately NOT @needs_reference: the mounts are monkeypatched away,
+    and environments without the mount are exactly where this fallback is
+    the live code path (review finding: the old gate skipped it there)."""
     import json
 
     from raymarchrenderer_tpu.utils import parity

@@ -141,3 +141,29 @@ def test_camera_ops_restart_render(server):
     st = wait_done()
     img_d = load_png_bytes(_get(base, "/api/image.png"))
     assert np.array_equal(img_a, img_d), "reset must restore the exact pose"
+
+
+def test_camera_op_before_first_render_does_not_launch(server):
+    """A pose op issued before ANY render must only move the camera: it
+    must not start an unrequested render of the default scene (review
+    finding: `camera_op` restarted from an empty `_last_req`, launching
+    sphere_on_floor at the 512x512 defaults the user never asked for)."""
+    base, state = server
+    r = json.loads(_post(base, "/api/camera",
+                         {"op": "orbit", "ax": 0.3, "ay": 0.1}))
+    assert r["ok"] and len(r["eye"]) == 3
+    time.sleep(0.3)
+    st = json.loads(_get(base, "/api/state"))
+    assert not st["rendering"] and st["n"] == 0
+    assert state._thread is None, "camera op launched a render"
+    # the moved pose IS used by the first real render
+    req = {"scene": "sphere_on_floor", "spp": 1, "width": 16, "height": 16,
+           "max_steps": 16, "max_bounces": 1, "max_dist": 100.0}
+    _post(base, "/api/render", req)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        st = json.loads(_get(base, "/api/state"))
+        if st["n"] >= 1 and not st["rendering"]:
+            break
+        time.sleep(0.2)
+    assert st["camera"]["eye"] == r["eye"]
