@@ -43,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 from raymarchrenderer_tpu.core.rng import RNGStream
 from raymarchrenderer_tpu.core.sampling import uniform_sphere
 from raymarchrenderer_tpu.core.vecmath import Vec3, vselect
-from raymarchrenderer_tpu.kernels.march import DEFAULT_BH, DEFAULT_BW
+from raymarchrenderer_tpu.kernels.march import (DEFAULT_BH, DEFAULT_BW,
+                                                DEFAULT_LAZY_MISS)
 from raymarchrenderer_tpu.render.config import RenderConfig
 from raymarchrenderer_tpu.scene.graph import Scene
 from raymarchrenderer_tpu.scene.nodes import ShadeCtx
@@ -54,14 +55,15 @@ _PI = 3.14159265358979323846
 @functools.partial(
     jax.jit,
     static_argnames=("scene", "cfg", "direct_light", "block", "interpret",
-                     "mode", "n_samples"))
+                     "mode", "n_samples", "lazy_miss"))
 def trace_record_fused(scene: Scene, params, cfg: RenderConfig, eye: Vec3,
                        d0: Vec3, px, py, sample,
                        direct_light: bool = False,
                        block=(DEFAULT_BH, DEFAULT_BW),
                        interpret: bool = False,
                        corners=None, mode: str = "auto",
-                       n_samples: int = 1):
+                       n_samples: int = 1,
+                       lazy_miss: bool = DEFAULT_LAZY_MISS):
     """Run the full `trace_rgb` forward over arbitrary (H, W) ray planes in
     ONE Pallas launch and return the recorded march planes:
 
@@ -77,7 +79,17 @@ def trace_record_fused(scene: Scene, params, cfg: RenderConfig, eye: Vec3,
     megakernel schedule (`render.mega.trace_mega_paths(record_banks=True)`:
     per-lane bounce progression, shadow marches as extra segments) — on a
     v5e this runs ~4× the bounce-synchronous `mode="wavefront"` fallback,
-    whose per-bounce tile barriers cost Σ_b max_lanes(steps_b)."""
+    whose per-bounce tile barriers cost Σ_b max_lanes(steps_b).
+
+    `lazy_miss` (default: the render kernel's DEFAULT_LAZY_MISS, so the
+    recorded forward runs the SAME estimator schedule as the production
+    render) applies the boundary-deferred miss test inside the recording
+    megakernel: ~6% off the recording kernel (the train step's dominant
+    phase), banks bitwise-identical on scenes whose geometry sits well
+    inside max_dist (tested; the same O(rare-lane) shell-grazing caveat
+    as the render).  NEE recording stays STRICT regardless — lazy flips
+    ~1e-5 of shadow-visibility verdicts (a discrete estimator change) —
+    and the wavefront fallback tests misses per step by construction."""
     if scene.has_env_map:
         # round-5: env-map scenes record too.  The recorder traces
         # GEOMETRY only (t, mid, hit[, sd]) — the color output is
@@ -104,7 +116,11 @@ def trace_record_fused(scene: Scene, params, cfg: RenderConfig, eye: Vec3,
     params = lax.stop_gradient(params)
     if mode == "mega":
         return _record_mega(scene, params, cfg, corners, px, py, sample,
-                            direct_light, block, interpret, n_samples)
+                            direct_light, block, interpret, n_samples,
+                            lazy_miss=lazy_miss)
+    # wavefront mode below: bounce-synchronous per-bounce marches test
+    # the miss every step by construction — lazy_miss is a megakernel
+    # schedule knob and simply does not apply here
     shape = jnp.shape(d0.x)
     h, w = shape
     B = cfg.max_bounces
@@ -272,7 +288,7 @@ def trace_record_fused(scene: Scene, params, cfg: RenderConfig, eye: Vec3,
 
 def _record_mega(scene: Scene, params, cfg: RenderConfig, corners, px, py,
                  sample, direct_light: bool, block, interpret: bool,
-                 n_samples: int = 1):
+                 n_samples: int = 1, lazy_miss: bool = False):
     # (see trace_record_fused; dispersion banks fold per channel below)
     """Megakernel-schedule recorder: per-lane bounce progression with
     banked residual writes at the shade/resolve passes
@@ -346,7 +362,16 @@ def _record_mega(scene: Scene, params, cfg: RenderConfig, corners, px, py,
                                                  else 16),
                                   dispersion=disp,
                                   direct_light=direct_light,
-                                  record_banks=True)
+                                  record_banks=True,
+                                  # NEE stays strict even when lazy is
+                                  # requested: lazy flips ~1e-5 of sd
+                                  # visibility verdicts (a DISCRETE
+                                  # estimator change, unlike the bitwise
+                                  # geometry banks) — measured on an
+                                  # enclosed room, tools note in
+                                  # docs/performance.md
+                                  lazy_miss=lazy_miss and not nee
+                                  and march_unroll > 1)
         # stacked banks: one copy per output ref (see mega._MegaState.rec)
         t_ref[:] = rec[0]
         mid_ref[:] = rec[1]
@@ -410,7 +435,8 @@ def trace_record_fused_spectral(scene: Scene, params, mats,
                                 cfg: RenderConfig, corners, px, py, sample0,
                                 n_samples: int = 1,
                                 block=(DEFAULT_BH, DEFAULT_BW),
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                lazy_miss: bool = DEFAULT_LAZY_MISS):
     """Spectral recorder (round 5): the gen-3 megakernel schedule traces
     every (sample, bounce) march in ONE Pallas launch and banks the
     (t, mid, hit) residuals the differentiable spectral replay consumes
@@ -471,7 +497,9 @@ def trace_record_fused_spectral(scene: Scene, params, mats,
                                      march_unroll=march_unroll,
                                      regen_cadence=(0 if march_unroll == 1
                                                     else 16),
-                                     record_banks=True)
+                                     record_banks=True,
+                                     lazy_miss=lazy_miss
+                                     and march_unroll > 1)
         t_ref[:] = rec[0]
         mid_ref[:] = rec[1]
         hit_ref[:] = rec[2]

@@ -205,18 +205,17 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
     # per-channel (B, S·H, W) planes for the replay's channel loop.
     if record_banks and defer_sky:
         raise ValueError("record_banks and defer_sky are exclusive modes")
-    if record_banks and lazy_miss:
-        # lazy_miss changes WHICH lane resolves first in rare grazing
-        # cases (an estimator change) — keep recording strict there.
-        # regen_cadence is pure scheduling (resolve/regen compute the
-        # same per-lane values whenever they run), so recorded banks are
-        # identical under it up to unrolled-step fusion ulps (tested:
-        # ids/hit/visibility exact, t to 1 ulp) and round 5 enables it: the
-        # recording kernel is 73% of the train step
-        # (output/bench_tpu_r5.json decomposition) and the cadence
-        # recovers part of the render schedule's occupancy.
-        raise ValueError("record_banks keeps the strict miss schedule "
-                         "(lazy_miss is a render-only knob)")
+    # record_banks composes with BOTH schedule knobs.  regen_cadence is
+    # pure scheduling (resolve/regen compute the same per-lane values
+    # whenever they run), so recorded banks are identical under it up to
+    # unrolled-step fusion ulps (tested: ids/hit/visibility exact, t to
+    # 1 ulp); round 5 enables it — the recording kernel is ~73% of the
+    # train step (output/bench_tpu_r5.json decomposition).  lazy_miss is
+    # the render's O(rare-lane) estimator trade (a lane grazing geometry
+    # AT the max_dist shell can resolve differently): banks are bitwise-
+    # identical on scenes whose geometry sits well inside max_dist
+    # (tested), so the train path may opt in for the render schedule's
+    # occupancy — it stays OFF by default for recording.
     if (regen_cadence and regen_cadence < march_unroll
             and march_unroll % regen_cadence):
         # cadence >= unroll simply means "no mid-chunk pass" (body() only
@@ -816,10 +815,11 @@ def trace_mega_spectral(scene: Scene, params, mats, cfg: RenderConfig,
     sky_min, sky_max, sky_p = 390.0, 830.0, jnp.float32(cfg.sky_power)
     relax = cfg.relax_omega > 1.0
     _one_minus_omega = float(np.float32(1.0) - np.float32(cfg.relax_omega))
-    if record_banks and (lazy_miss or with_occupancy):
-        # regen_cadence is pure scheduling and allowed (see trace_mega_paths)
+    if record_banks and with_occupancy:
+        # regen_cadence AND lazy_miss compose with recording (see the
+        # trace_mega_paths note); the occupancy counters stay render-only
         raise ValueError("record_banks keeps the strict miss schedule "
-                         "(lazy_miss/occupancy are render-only knobs)")
+                         "(occupancy is a render-only knob)")
     if (regen_cadence and regen_cadence < march_unroll
             and march_unroll % regen_cadence):
         # cadence >= unroll simply means "no mid-chunk pass" (body() only

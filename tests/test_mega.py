@@ -372,16 +372,21 @@ class TestRound4ScheduleKnobs:
         lazy = run(lazy_miss=True, regen_cadence=4)
         assert (np.abs(lazy - base) > 1e-4).mean() < 1e-3
 
-    def test_record_banks_rejects_knobs(self):
+    def test_record_banks_rejects_occupancy(self):
+        """lazy_miss now COMPOSES with recording (round 5b — see
+        test_record_banks_bitwise_under_lazy_miss); the occupancy
+        counters remain render-only."""
+        from raymarchrenderer_tpu.render.spectral_integrator import (
+            band_table)
         scene = sphere_on_floor()
         params = scene.init_params()
         corners = Camera(aspect=1.0).corner_rays_flat()
         px, py = pixel_grid(8, 8)
-        ch = Vec3.full((8, 8), 1.0, 1.0, 1.0)
-        with pytest.raises(ValueError, match="strict miss schedule"):
-            mega.trace_mega_paths(scene, params, CFG, corners, px, py,
-                                  jnp.uint32(0), ch, record_banks=True,
-                                  lazy_miss=True)
+        with pytest.raises(ValueError, match="render-only"):
+            mega.trace_mega_spectral(scene, params, band_table(scene),
+                                     CFG, corners, px, py, jnp.uint32(0),
+                                     record_banks=True,
+                                     with_occupancy=True)
 
 
 def test_record_banks_bitwise_under_cadence():
@@ -416,4 +421,54 @@ def test_record_banks_bitwise_under_cadence():
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
                                rtol=1e-6, atol=1e-6)
     for x, y in zip(a[1:], b[1:]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_record_banks_bitwise_under_lazy_miss():
+    """Round-5: lazy_miss composes with RECORDING (the recorded train
+    forward now runs the render's own schedule by default): on scenes
+    whose geometry sits well inside max_dist the banked planes must be
+    ARRAY-equal to the strict-schedule recording — RGB (with NEE: the
+    shadow sd bank stays strict-equal here because the scene is open) and
+    spectral."""
+    from raymarchrenderer_tpu.render.spectral_integrator import (
+        band_table)
+    from raymarchrenderer_tpu.scene.builtin import csg_demo
+    scene = csg_demo()
+    params = scene.init_params()
+    # small unroll keeps the four CPU compiles fast while still crossing
+    # lazy mark_misses at BOTH the mid-chunk cadence and chunk boundaries.
+    # max_steps stays generous (the production budget): a starved step
+    # budget makes mid-chunk budget exhaustion COMMON, and lanes that
+    # strictly expire mid-chunk but hit geometry within the overshoot
+    # window are precisely the documented lazy-vs-strict divergence class
+    cfg = CFG.replace(width=32, height=32, max_steps=512, max_bounces=3)
+    corners = Camera(aspect=1.0).corner_rays_flat()
+    px, py = pixel_grid(cfg.width, cfg.height)
+    ch = Vec3.full((cfg.height, cfg.width), 1.0, 1.0, 1.0)
+
+    def rec(lazy):
+        _, banks = mega.trace_mega_paths(
+            scene, params, cfg, corners, px, py, jnp.uint32(0), ch,
+            n_samples=2, shade_gate=0.0, march_unroll=8,
+            regen_cadence=4, direct_light=True, record_banks=True,
+            lazy_miss=lazy)
+        return banks
+
+    a, b = rec(False), rec(True)
+    assert len(a) == len(b) == 4
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    mats = band_table(scene)
+
+    def rec_sp(lazy):
+        _, banks = mega.trace_mega_spectral(
+            scene, params, mats, cfg, corners, px, py, jnp.uint32(0),
+            n_samples=2, shade_gate=0.0, march_unroll=8,
+            regen_cadence=4, record_banks=True, lazy_miss=lazy)
+        return banks
+
+    a, b = rec_sp(False), rec_sp(True)
+    for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
