@@ -86,6 +86,27 @@ GATED_GOLDENS = {
         "luma_r_min": -0.10,
         "green_budget_px": 150.0,
     },
+    # round-5b breadth: two more eras whose geometry anchors measured
+    # cleanly against the converged full-res render (red_d 12.3 / 8.9 px,
+    # green in-bbox for both)
+    "2015-07-29_10-42": {
+        "delta": "refractive-blue-sphere era (latest golden): heavy "
+                 "firefly noise, bright backdrop decorrelates luma "
+                 "(r = +0.06 measured).  Like 17-20 the green-body "
+                 "centroid is detector-sensitive (fireflies shift the "
+                 "largest component under downscale: 107.6 full-res px "
+                 "but 47.3·4 at ×4), so the centroid budget is the loose "
+                 "one and the bbox containment stays the positional gate",
+        "luma_r_min": -0.10,
+        "green_budget_px": 250.0,
+    },
+    "2015-07-11_01-41": {
+        "delta": "earliest era: spheres FLOAT above the floor with hard "
+                 "shadow blobs and heavy MC noise; dark backdrop inverts "
+                 "contrast like 23-07 (r = -0.43 measured)",
+        "luma_r_min": -0.55,
+        "green_budget_px": 150.0,
+    },
 }
 
 

@@ -142,7 +142,7 @@ def test_packaged_parity_fallback(monkeypatch, tmp_path, capsys):
     out = capsys.readouterr().out
     d = json.loads(out.strip().splitlines()[-1])
     assert d["reference_mount"] is False
-    assert len(d["goldens"]) == 3
+    assert len(d["goldens"]) == 5
     for g in d["goldens"]:
         assert g["gates"]["red_centroid_lt_20px"], g
         assert g["gates"]["green_centroid_in_ref_panel_bbox"], g
