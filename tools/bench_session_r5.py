@@ -77,11 +77,14 @@ def main():
     # the CLI run proves the verb selects the fused path at a
     # non-divisible size; its wall includes the one-off compile, so the
     # RATE is measured warm by tools/bench_720p.py
-    variants["render-1280x720-cli"] = run_cli_render(
-        ["render", "--scene", "sphere_on_floor", "--width", "1280",
-         "--height", "720", "--spp", "128", "--chunk", "128",
-         "--relax", "2.0", "--normal-taps", "4",
-         "--out", "/tmp/r5_720p.png"])
+    cli_args = ["render", "--scene", "sphere_on_floor", "--width", "1280",
+                "--height", "720", "--spp", "128", "--chunk", "128",
+                "--relax", "2.0", "--normal-taps", "4",
+                "--out", "/tmp/r5_720p.png"]
+    variants["render-1280x720-cli"] = run_cli_render(cli_args)
+    # second fresh process: the persistent compile cache the CLI wires by
+    # default serves every compile from disk (utils/cache.py)
+    variants["render-1280x720-cli-cached"] = run_cli_render(cli_args)
     variants["render-1280x720-fused-warm"] = run_json("tools/bench_720p.py")
     log("train recorded spp=4")
     variants["train-recorded"] = run_json(
