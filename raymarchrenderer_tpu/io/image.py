@@ -236,11 +236,12 @@ def _srgb_to_linear_np(c: np.ndarray) -> np.ndarray:
 
 
 def load_bmp(path: str) -> np.ndarray:
-    """Decode a 24-bit uncompressed (BI_RGB) BMP → (H, W, 3) uint8 RGB,
-    top-down row order.  Exactly the format the reference's `SaveImage`
-    emits via SOIL (`Graphics.cpp:754-799`) — this reads the 2015 golden
-    renders in the reference's `output/` for parity testing, and
-    round-trips our own `save_bmp`."""
+    """Decode an uncompressed (BI_RGB) BMP → (H, W, 3) uint8 RGB,
+    top-down row order.  24-bit is the format the reference's
+    `SaveImage` emits via SOIL (`Graphics.cpp:754-799`) and round-trips
+    our own `save_bmp`; 8-bit palettized is also read (one 2015 golden —
+    `output/2015-07-20_20-46.bmp` — was saved through an indexed
+    pipeline)."""
     with open(path, "rb") as f:
         data = f.read()
     assert data[:2] == b"BM", "not a BMP file"
@@ -248,10 +249,22 @@ def load_bmp(path: str) -> np.ndarray:
     hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
     planes, bpp = struct.unpack_from("<HH", data, 26)
     (compression,) = struct.unpack_from("<I", data, 30)
-    assert hdr_size >= 40 and bpp == 24 and compression == 0, (
+    assert hdr_size >= 40 and bpp in (8, 24) and compression == 0, (
         f"unsupported BMP variant (bpp={bpp}, compression={compression})")
     flip = h > 0          # positive height = bottom-up storage
     h = abs(h)
+    if bpp == 8:
+        (colors_used,) = struct.unpack_from("<I", data, 46)
+        n_pal = colors_used or 256
+        pal = np.frombuffer(data, np.uint8, n_pal * 4,
+                            14 + hdr_size).reshape(n_pal, 4)
+        row_size = (w + 3) & ~3
+        idx = np.frombuffer(data, np.uint8, row_size * h, offset)
+        idx = idx.reshape(h, row_size)[:, :w]
+        rows = pal[idx, :3]                       # BGRX palette entries
+        if flip:
+            rows = rows[::-1]
+        return np.ascontiguousarray(rows[:, :, ::-1])  # BGR → RGB
     row_size = (w * 3 + 3) & ~3
     rows = np.frombuffer(data, np.uint8, row_size * h, offset)
     rows = rows.reshape(h, row_size)[:, :w * 3].reshape(h, w, 3)

@@ -204,3 +204,47 @@ class TestHDR:
         sky = scene.sky(params, d_)
         np.testing.assert_allclose(np.asarray(sky.x), 2.0, rtol=1e-2)
         np.testing.assert_allclose(np.asarray(sky.y), 0.0, atol=1e-6)
+
+
+def test_load_bmp_8bit_palette(tmp_path):
+    """8-bit palettized BI_RGB BMPs decode through the palette (one 2015
+    reference golden — 2015-07-20_20-46.bmp — was saved indexed; the
+    loader previously rejected it)."""
+    import os
+
+    from raymarchrenderer_tpu.io.image import load_bmp
+
+    # synthesize a 6x3 indexed BMP: palette of 4 BGRX entries, 4-byte
+    # padded rows, bottom-up storage
+    w, h = 6, 3
+    pal = bytes([255, 0, 0, 0,      # idx 0 -> blue  (BGR)
+                 0, 255, 0, 0,      # idx 1 -> green
+                 0, 0, 255, 0,      # idx 2 -> red
+                 128, 128, 128, 0])  # idx 3 -> gray
+    row = (w + 3) & ~3
+    px = bytearray()
+    for y in range(h):              # bottom-up rows: y=0 is the LAST row
+        for x in range(w):
+            px.append((x + y) % 4)
+        px += b"\0" * (row - w)
+    offset = 14 + 40 + len(pal)
+    hdr = (b"BM" + struct.pack("<IHHI", offset + len(px), 0, 0, offset)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(px),
+                         2835, 2835, 4, 0))
+    p = str(tmp_path / "pal.bmp")
+    with open(p, "wb") as f:
+        f.write(hdr + pal + bytes(px))
+    img = load_bmp(p)
+    assert img.shape == (h, w, 3)
+    # top row of the image is the y=h-1 stored row: indices (x+2)%4
+    assert tuple(img[0, 0]) == (255, 0, 0)    # idx 2 -> red (RGB)
+    assert tuple(img[0, 1]) == (128, 128, 128)
+    assert tuple(img[2, 0]) == (0, 0, 255)    # idx 0 -> blue
+    assert tuple(img[2, 1]) == (0, 255, 0)
+
+    ref = "/root/reference/RayMarch Renderer/output/2015-07-20_20-46.bmp"
+    if os.path.exists(ref):
+        gold = load_bmp(ref)
+        assert gold.shape == (720, 1280, 3)
+        # the era's content: one dark glossy sphere on a gray floor
+        assert 40 < gold.mean() < 90
