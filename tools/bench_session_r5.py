@@ -38,10 +38,13 @@ def run_json(script, env=None, timeout=900):
     return d
 
 
-def run_cli_render(args, timeout=900):
+def run_cli_render(args, timeout=900, cache_dir=None):
     e = dict(os.environ)
-    e.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(ROOT,
-                                                           ".jax_cache"))
+    if cache_dir is not None:
+        # pin the CLI's persistent compile cache (utils/cache.py) so the
+        # cold/cached pair is honest: a FRESH dir for the cold run, the
+        # now-populated one for the cached run
+        e["RAYMARCH_CACHE_DIR"] = cache_dir
     out = subprocess.run([sys.executable, "-m", "raymarchrenderer_tpu"]
                          + args, cwd=ROOT, env=e, capture_output=True,
                          text=True, timeout=timeout)
@@ -81,10 +84,18 @@ def main():
                 "--height", "720", "--spp", "128", "--chunk", "128",
                 "--relax", "2.0", "--normal-taps", "4",
                 "--out", "/tmp/r5_720p.png"]
-    variants["render-1280x720-cli"] = run_cli_render(cli_args)
-    # second fresh process: the persistent compile cache the CLI wires by
-    # default serves every compile from disk (utils/cache.py)
-    variants["render-1280x720-cli-cached"] = run_cli_render(cli_args)
+    import shutil
+    import tempfile
+    cdir = tempfile.mkdtemp(prefix="r5_cli_cache_")
+    try:
+        variants["render-1280x720-cli"] = run_cli_render(cli_args,
+                                                         cache_dir=cdir)
+        # second fresh process: the persistent compile cache the CLI
+        # wires by default serves every compile from disk (utils/cache.py)
+        variants["render-1280x720-cli-cached"] = run_cli_render(
+            cli_args, cache_dir=cdir)
+    finally:
+        shutil.rmtree(cdir, ignore_errors=True)
     variants["render-1280x720-fused-warm"] = run_json("tools/bench_720p.py")
     log("train recorded spp=4")
     variants["train-recorded"] = run_json(
