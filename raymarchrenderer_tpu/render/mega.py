@@ -162,8 +162,12 @@ def trace_mega_paths(scene: Scene, params, cfg: RenderConfig, corners,
     the step budget never binds); regen_cadence=k adds a CHEAP pass every
     k steps that retires parked misses/finished paths (and, under NEE,
     resolves parked shadow segments) without the full shade pass's map +
-    normal + material ops — bitwise (pure scheduling).  Not supported in
-    record_banks mode (the recorder keeps the strict schedule)."""
+    normal + material ops — bitwise (pure scheduling).  Both compose
+    with record_banks (round 5b): the recorded banks are identical under
+    the cadence, and identical under lazy_miss on scenes where the
+    max_dist/step-budget shell never binds — see the note at the
+    lazy_miss validation below; NEE recording is forced strict by the
+    caller (`kernels.record._record_mega`)."""
     shape = jnp.shape(px)
     e = eye_vec(corners)
     eye = Vec3(jnp.broadcast_to(e.x, shape).astype(jnp.float32),

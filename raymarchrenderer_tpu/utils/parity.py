@@ -4,8 +4,8 @@ packaged implementation.
 `tools/reference_parity.py` (the source-checkout tool) documents the
 full methodology: camera recovery, detector design, per-era content
 deltas.  This module holds the shared implementation so the `parity`
-CLI verb works from a WHEEL install too: the three gated goldens ship
-as downscaled (×4, 320×180) arrays under
+CLI verb works from a WHEEL install too: every golden in GATED_GOLDENS
+(five eras) ships as a downscaled (×4, 320×180) array under
 `raymarchrenderer_tpu/data/parity/*.npz`, and the reference's
 `default.scene` pose/geometry is covered by the packaged re-authored
 scene (`raymarchrenderer_tpu/data/scenes/default.scene`).  When the
@@ -311,6 +311,11 @@ def run_parity(camera=None, out_dir: str = "output") -> int:
     f = int(os.environ.get("PARITY_SCALE",
                            "1" if have_reference_mount()
                            else str(_PKG_SCALE)))
+    if not have_reference_mount() and f < _PKG_SCALE:
+        # packaged goldens only exist at x4: load_golden would silently
+        # clamp the PIXELS to x4 while gate_one(f=1) kept the full-res
+        # budgets — 4x-weaker gates (review finding).  Clamp BOTH.
+        f = _PKG_SCALE
     env_ref = os.environ.get("PARITY_REF")
     if env_ref:
         names = [env_ref]

@@ -142,9 +142,11 @@ def test_persistent_compile_cache(tmp_path, monkeypatch):
     monkeypatch.setenv("RAYMARCH_CACHE_DIR", str(cdir))
     monkeypatch.setenv("RAYMARCH_CACHE_MIN_SECS", "0")  # tiny CPU compiles
     try:
-        # disabled path: the suite-wide kill-switch (conftest sets it so
-        # other tests' cli.main() calls never bind the real ~/.cache)
-        assert os.environ.get("RAYMARCH_NO_CACHE") == "1"
+        # disabled path: the kill-switch (conftest defaults it on
+        # suite-wide so other tests' cli.main() calls never bind the
+        # real ~/.cache; set explicitly here so an ambient override
+        # can't break the assertion)
+        monkeypatch.setenv("RAYMARCH_NO_CACHE", "1")
         assert ucache.enable_persistent_cache() is None
         monkeypatch.delenv("RAYMARCH_NO_CACHE")
         assert jax.config.jax_compilation_cache_dir == prev

@@ -17,7 +17,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from raymarchrenderer_tpu.io.image import load_bmp
 from raymarchrenderer_tpu.utils import parity
 
 
@@ -26,17 +25,16 @@ def main():
                            "data", "parity")
     out_dir = os.path.abspath(out_dir)
     f = parity._PKG_SCALE
+    assert parity.have_reference_mount(), \
+        "needs the reference mount (source checkout)"
     for name in parity.GATED_GOLDENS:
-        bmp = os.path.join(parity.REF_DIR, name + ".bmp")
-        ref = load_bmp(bmp)
-        H, W = ref.shape[:2]
-        h, w = H // f, W // f
-        small = ref[:h * f, :w * f].reshape(h, f, w, f, 3) \
-            .mean(axis=(1, 3)).astype(np.uint8)
+        # load_golden with the mount present IS the gate's own
+        # BMP-then-box-mean path — using it (instead of re-implementing
+        # the downscale) makes packaged-vs-mount divergence impossible
+        small = parity.load_golden(name, f)
         dst = os.path.join(out_dir, name + ".npz")
         np.savez_compressed(dst, image=small)
-        print(f"{name}: {ref.shape} -> {small.shape} "
-              f"({os.path.getsize(dst)} bytes)")
+        print(f"{name}: -> {small.shape} ({os.path.getsize(dst)} bytes)")
 
 
 if __name__ == "__main__":
